@@ -1,0 +1,409 @@
+"""TPU-native Parler-TTS autoregressive codec-token decoder.
+
+Re-design of the reference decoder stack
+(`/root/reference/parler_tts/modeling_parler_tts.py:439-1736,1824-2298`) as
+functional flax modules:
+
+  - K per-codebook embedding tables live in ONE stacked (K, vocab+1, D) param and
+    are gathered + summed in a single take (reference sums K separate
+    `nn.Embedding`s, modeling:1432-1433);
+  - attention is einsum-based GQA in the (B, T, H, Dh) layout with fp32 softmax,
+    serving self- and cross-attention; RoPE is applied to q (and to new self-attn
+    k) exactly like the reference, including its quirk of rotating cross-attn
+    queries but not encoder keys (modeling:516-545);
+  - the KV cache is an explicit, statically-shaped pytree threaded through
+    `__call__` — the same code path serves training (no cache), prefill
+    (T > 1 at index 0) and decode (T == 1), so the whole generate loop stays
+    inside one jitted program (the reference needs a separate StaticCache
+    machinery for this, modeling:3254-3309);
+  - LM heads are ONE stacked (K, D, V) param applied as a single einsum — the
+    TPU-native form of the reference's `use_fused_lm_heads` (modeling:1834-1840).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+from ..config import DecoderConfig
+from ..ops.positions import apply_rope, rope_cos_sin, sinusoidal_embed, sinusoidal_table
+
+ACT_FNS = {
+    "gelu": lambda x: jax.nn.gelu(x, approximate=False),
+    "gelu_new": lambda x: jax.nn.gelu(x, approximate=True),
+    "relu": jax.nn.relu,
+    "silu": jax.nn.silu,
+}
+
+
+@flax.struct.dataclass
+class DecoderCache:
+    """Static-shape KV cache for the full decoder stack.
+
+    self_k/self_v: (L, B, S_max, H_kv, Dh)
+    cross_k/cross_v: (L, B, S_enc, H_ckv, Dh) — filled once per generate
+    index: () int32 — next self-attention write position
+    """
+
+    self_k: jnp.ndarray
+    self_v: jnp.ndarray
+    cross_k: jnp.ndarray
+    cross_v: jnp.ndarray
+    index: jnp.ndarray
+
+    @classmethod
+    def zeros(
+        cls,
+        config: DecoderConfig,
+        batch_size: int,
+        max_length: int,
+        encoder_length: int,
+        dtype=jnp.float32,
+    ) -> "DecoderCache":
+        l, dh = config.num_hidden_layers, config.head_dim
+        return cls(
+            self_k=jnp.zeros((l, batch_size, max_length, config.num_key_value_heads, dh), dtype),
+            self_v=jnp.zeros((l, batch_size, max_length, config.num_key_value_heads, dh), dtype),
+            cross_k=jnp.zeros(
+                (l, batch_size, encoder_length, config.num_cross_attention_key_value_heads, dh), dtype
+            ),
+            cross_v=jnp.zeros(
+                (l, batch_size, encoder_length, config.num_cross_attention_key_value_heads, dh), dtype
+            ),
+            index=jnp.zeros((), jnp.int32),
+        )
+
+
+def _gqa_attention(
+    q: jnp.ndarray,  # (B, T, H, Dh) — already scaled
+    k: jnp.ndarray,  # (B, S, H_kv, Dh)
+    v: jnp.ndarray,  # (B, S, H_kv, Dh)
+    bias: Optional[jnp.ndarray],  # (B, 1, T, S) additive fp32
+) -> jnp.ndarray:
+    """Grouped-query attention with fp32 logits/softmax. Returns (B, T, H, Dh)."""
+    b, t, h, dh = q.shape
+    h_kv = k.shape[2]
+    g = h // h_kv
+    qg = q.reshape(b, t, h_kv, g, dh)
+    scores = jnp.einsum("btkgd,bskd->bkgts", qg, k, preferred_element_type=jnp.float32)
+    if bias is not None:
+        scores = scores + bias[:, :, None, :, :]  # broadcast over (kv, group)
+    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
+    out = jnp.einsum("bkgts,bskd->btkgd", probs, v)
+    return out.reshape(b, t, h, dh)
+
+
+class Attention(nn.Module):
+    """Bias-free multi-head attention with GQA/MQA (reference modeling:439-584)."""
+
+    config: DecoderConfig
+    num_kv_heads: int
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        cfg = self.config
+        d, dh = cfg.hidden_size, cfg.head_dim
+        dense = lambda feats, name: nn.Dense(  # noqa: E731
+            feats, use_bias=False, dtype=self.dtype, name=name,
+            kernel_init=nn.initializers.normal(cfg.initializer_factor),
+        )
+        self.q_proj = dense(d, "q_proj")
+        self.k_proj = dense(self.num_kv_heads * dh, "k_proj")
+        self.v_proj = dense(self.num_kv_heads * dh, "v_proj")
+        self.out_proj = dense(d, "out_proj")
+
+    def _split_q(self, x):
+        b, t, _ = x.shape
+        cfg = self.config
+        return x.reshape(b, t, cfg.num_attention_heads, cfg.head_dim)
+
+    def _split_kv(self, x):
+        b, s, _ = x.shape
+        return x.reshape(b, s, self.num_kv_heads, self.config.head_dim)
+
+    def project_kv(self, states: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """k/v projections of (encoder) states — used to prefill the cross cache."""
+        return self._split_kv(self.k_proj(states)), self._split_kv(self.v_proj(states))
+
+    def _query(self, x, cos, sin):
+        # q is scaled before RoPE like the reference (rotation commutes with scale).
+        q = self._split_q(self.q_proj(x)) * (self.config.head_dim ** -0.5)
+        if self.config.rope_embeddings and cos is not None:
+            q = apply_rope(q, cos, sin)
+        return q
+
+    def self_attention(
+        self,
+        x: jnp.ndarray,
+        bias: Optional[jnp.ndarray],
+        cos: Optional[jnp.ndarray],
+        sin: Optional[jnp.ndarray],
+        cache_k: Optional[jnp.ndarray] = None,
+        cache_v: Optional[jnp.ndarray] = None,
+        cache_index: Optional[jnp.ndarray] = None,
+    ):
+        """Returns (out, new_cache_k, new_cache_v)."""
+        q = self._query(x, cos, sin)
+        k = self._split_kv(self.k_proj(x))
+        v = self._split_kv(self.v_proj(x))
+        if self.config.rope_embeddings and cos is not None:
+            k = apply_rope(k, cos, sin)
+
+        if cache_k is not None:
+            cache_k = jax.lax.dynamic_update_slice(
+                cache_k, k.astype(cache_k.dtype), (0, cache_index, 0, 0)
+            )
+            cache_v = jax.lax.dynamic_update_slice(
+                cache_v, v.astype(cache_v.dtype), (0, cache_index, 0, 0)
+            )
+            k, v = cache_k, cache_v
+
+        out = _gqa_attention(q, k.astype(q.dtype), v.astype(q.dtype), bias)
+        b, t, _, _ = out.shape
+        return self.out_proj(out.reshape(b, t, -1)), cache_k, cache_v
+
+    def cross_attention(
+        self,
+        x: jnp.ndarray,
+        k: jnp.ndarray,
+        v: jnp.ndarray,
+        bias: Optional[jnp.ndarray],
+        cos: Optional[jnp.ndarray],
+        sin: Optional[jnp.ndarray],
+    ):
+        # Reference quirk: with rope_embeddings=True the cross-attn *query* is
+        # rotated (decoder positions) while encoder keys are not (modeling:516-518).
+        q = self._query(x, cos, sin)
+        out = _gqa_attention(q, k.astype(q.dtype), v.astype(q.dtype), bias)
+        b, t, _, _ = out.shape
+        return self.out_proj(out.reshape(b, t, -1))
+
+
+class DecoderLayer(nn.Module):
+    """Pre-LN block: self-attn -> cross-attn -> GELU MLP (reference modeling:940-1074)."""
+
+    config: DecoderConfig
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        cfg = self.config
+        ln = lambda name: nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=name)  # noqa: E731
+        self.self_attn = Attention(cfg, cfg.num_key_value_heads, self.dtype, name="self_attn")
+        self.self_attn_layer_norm = ln("self_attn_layer_norm")
+        self.encoder_attn = Attention(
+            cfg, cfg.num_cross_attention_key_value_heads, self.dtype, name="encoder_attn"
+        )
+        self.encoder_attn_layer_norm = ln("encoder_attn_layer_norm")
+        self.fc1 = nn.Dense(cfg.ffn_dim, use_bias=False, dtype=self.dtype, name="fc1",
+                            kernel_init=nn.initializers.normal(cfg.initializer_factor))
+        self.fc2 = nn.Dense(cfg.hidden_size, use_bias=False, dtype=self.dtype, name="fc2",
+                            kernel_init=nn.initializers.normal(cfg.initializer_factor))
+        self.final_layer_norm = ln("final_layer_norm")
+        self.dropout = nn.Dropout(cfg.dropout)
+        self.activation_dropout = nn.Dropout(cfg.activation_dropout)
+
+    def cross_kv(self, encoder_hidden_states: jnp.ndarray):
+        return self.encoder_attn.project_kv(encoder_hidden_states)
+
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        *,
+        self_attn_bias: Optional[jnp.ndarray],
+        cross_k: Optional[jnp.ndarray],
+        cross_v: Optional[jnp.ndarray],
+        cross_attn_bias: Optional[jnp.ndarray],
+        cos: Optional[jnp.ndarray],
+        sin: Optional[jnp.ndarray],
+        cache_k: Optional[jnp.ndarray] = None,
+        cache_v: Optional[jnp.ndarray] = None,
+        cache_index: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ):
+        residual = x
+        h = self.self_attn_layer_norm(x)
+        h, new_k, new_v = self.self_attn.self_attention(
+            h, self_attn_bias, cos, sin, cache_k, cache_v, cache_index
+        )
+        x = residual + self.dropout(h, deterministic=deterministic)
+
+        if cross_k is not None:
+            residual = x
+            h = self.encoder_attn_layer_norm(x)
+            h = self.encoder_attn.cross_attention(h, cross_k, cross_v, cross_attn_bias, cos, sin)
+            x = residual + self.dropout(h, deterministic=deterministic)
+
+        residual = x
+        h = self.final_layer_norm(x)
+        h = ACT_FNS[self.config.activation_function](self.fc1(h))
+        h = self.activation_dropout(h, deterministic=deterministic)
+        h = self.fc2(h)
+        x = residual + self.dropout(h, deterministic=deterministic)
+        return x, new_k, new_v
+
+
+class ParlerDecoder(nn.Module):
+    """The decoder stack (reference `ParlerTTSDecoder`, modeling:1338-1736)."""
+
+    config: DecoderConfig
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        cfg = self.config
+        # One stacked embedding param: (K, vocab+1, D).
+        self.embed_tokens = self.param(
+            "embed_tokens",
+            nn.initializers.normal(cfg.initializer_factor),
+            (cfg.num_codebooks, cfg.embed_rows, cfg.hidden_size),
+            jnp.float32,
+        )
+        self.layers = [
+            DecoderLayer(cfg, self.dtype, name=f"layers_{i}")
+            for i in range(cfg.num_hidden_layers)
+        ]
+        self.layer_norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="layer_norm")
+        self.dropout = nn.Dropout(cfg.dropout)
+
+    def embed_ids(self, input_ids: jnp.ndarray) -> jnp.ndarray:
+        """Sum the K codebook embeddings: (B, K, T) int -> (B, T, D).
+
+        One fused gather over the stacked table instead of K table lookups
+        (reference modeling:1432-1433).
+        """
+        cfg = self.config
+        scale = cfg.hidden_size ** 0.5 if cfg.scale_embedding else 1.0
+        # Flatten the stacked table to (K * rows, D) and add per-codebook row
+        # offsets so the whole lookup is ONE gather.
+        flat = self.embed_tokens.astype(self.dtype).reshape(-1, cfg.hidden_size)
+        offsets = (jnp.arange(cfg.num_codebooks) * cfg.embed_rows)[None, :, None]
+        gathered = jnp.take(flat, input_ids + offsets, axis=0)  # (B, K, T, D)
+        return gathered.sum(axis=1) * scale
+
+    def precompute_cross_kv(self, encoder_hidden_states: jnp.ndarray):
+        """Per-layer cross-attention k/v, stacked (L, B, S_enc, H_ckv, Dh)."""
+        ks, vs = [], []
+        for layer in self.layers:
+            k, v = layer.cross_kv(encoder_hidden_states.astype(self.dtype))
+            ks.append(k)
+            vs.append(v)
+        return jnp.stack(ks), jnp.stack(vs)
+
+    def __call__(
+        self,
+        inputs_embeds: jnp.ndarray,       # (B, T, D) — prompt prefix already prepended
+        position_ids: jnp.ndarray,        # (B, T) absolute positions
+        *,
+        self_attn_bias: Optional[jnp.ndarray],   # (B, 1, T, S)
+        encoder_hidden_states: Optional[jnp.ndarray] = None,  # (B, S_enc, D) training path
+        cross_attn_bias: Optional[jnp.ndarray] = None,        # (B, 1, T, S_enc)
+        cache: Optional[DecoderCache] = None,
+        deterministic: bool = True,
+    ):
+        cfg = self.config
+        x = inputs_embeds.astype(self.dtype)
+
+        cos = sin = None
+        if cfg.rope_embeddings:
+            cos, sin = rope_cos_sin(position_ids, cfg.head_dim, cfg.rope_theta, self.dtype)
+        else:
+            table = sinusoidal_table(cfg.max_position_embeddings, cfg.hidden_size, self.dtype)
+            x = x + sinusoidal_embed(table, position_ids)
+
+        x = self.dropout(x, deterministic=deterministic)
+
+        new_self_k, new_self_v = [], []
+        for i, layer in enumerate(self.layers):
+            if cache is not None:
+                cross_k_i, cross_v_i = cache.cross_k[i], cache.cross_v[i]
+                cache_k_i, cache_v_i, idx = cache.self_k[i], cache.self_v[i], cache.index
+            elif encoder_hidden_states is not None:
+                cross_k_i, cross_v_i = layer.cross_kv(encoder_hidden_states.astype(self.dtype))
+                cache_k_i = cache_v_i = idx = None
+            else:
+                cross_k_i = cross_v_i = cache_k_i = cache_v_i = idx = None
+            x, k_i, v_i = layer(
+                x,
+                self_attn_bias=self_attn_bias,
+                cross_k=cross_k_i,
+                cross_v=cross_v_i,
+                cross_attn_bias=cross_attn_bias,
+                cos=cos,
+                sin=sin,
+                cache_k=cache_k_i,
+                cache_v=cache_v_i,
+                cache_index=idx,
+                deterministic=deterministic,
+            )
+            if cache is not None:
+                new_self_k.append(k_i)
+                new_self_v.append(v_i)
+
+        x = self.layer_norm(x)
+
+        new_cache = None
+        if cache is not None:
+            new_cache = DecoderCache(
+                self_k=jnp.stack(new_self_k),
+                self_v=jnp.stack(new_self_v),
+                cross_k=cache.cross_k,
+                cross_v=cache.cross_v,
+                index=cache.index + inputs_embeds.shape[1],
+            )
+        return x, new_cache
+
+
+class ParlerForCausalLM(nn.Module):
+    """Decoder + stacked LM heads (reference `ParlerTTSForCausalLM`, modeling:1824-2298)."""
+
+    config: DecoderConfig
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        cfg = self.config
+        self.decoder = ParlerDecoder(cfg, self.dtype, name="decoder")
+        # (K, D, V) — applied as one fused einsum (TPU-native `use_fused_lm_heads`).
+        self.lm_heads = self.param(
+            "lm_heads",
+            nn.initializers.normal(cfg.initializer_factor),
+            (cfg.num_codebooks, cfg.hidden_size, cfg.vocab_size),
+            jnp.float32,
+        )
+
+    def logits(self, hidden: jnp.ndarray) -> jnp.ndarray:
+        """(B, T, D) -> (B, K, T, V)."""
+        return jnp.einsum(
+            "btd,kdv->bktv", hidden, self.lm_heads.astype(self.dtype),
+            preferred_element_type=jnp.float32,
+        )
+
+    def __call__(
+        self,
+        inputs_embeds: jnp.ndarray,
+        position_ids: jnp.ndarray,
+        *,
+        self_attn_bias: Optional[jnp.ndarray],
+        encoder_hidden_states: Optional[jnp.ndarray] = None,
+        cross_attn_bias: Optional[jnp.ndarray] = None,
+        cache: Optional[DecoderCache] = None,
+        deterministic: bool = True,
+    ):
+        hidden, new_cache = self.decoder(
+            inputs_embeds,
+            position_ids,
+            self_attn_bias=self_attn_bias,
+            encoder_hidden_states=encoder_hidden_states,
+            cross_attn_bias=cross_attn_bias,
+            cache=cache,
+            deterministic=deterministic,
+        )
+        return self.logits(hidden), new_cache
+
+    def embed_ids(self, input_ids: jnp.ndarray) -> jnp.ndarray:
+        return self.decoder.embed_ids(input_ids)
+
+    def precompute_cross_kv(self, encoder_hidden_states: jnp.ndarray):
+        return self.decoder.precompute_cross_kv(encoder_hidden_states)
