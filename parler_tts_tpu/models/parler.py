@@ -1,0 +1,195 @@
+"""The composite Parler-TTS model: T5 text encoder + AR codec-token decoder.
+
+Re-design of `ParlerTTSForConditionalGeneration`
+(`/root/reference/parler_tts/modeling_parler_tts.py:2306-3678`). The module owns
+the *neural* composition only — description encoding, prompt embedding, the two
+prompt-conditioning modes, and the decoder-with-heads. The generation loop and
+the DAC codec live in `runtime/` and `codec/` (the reference folds all three
+into one class; splitting them keeps every piece independently jittable).
+
+Prompt-conditioning parity:
+  - default mode: prompt embeddings are PREPENDED to the decoder input embeds
+    and the prompt mask is concatenated to the decoder mask (modeling:1437-1439,
+    1474-1480, 3033-3044);
+  - `prompt_cross_attention=True`: prompt embeddings + sinusoidal positions are
+    CONCATENATED to the encoder states for cross-attention (modeling:2791-2811).
+Position-id quirk preserved: sinusoidal positions count masked prompt tokens;
+RoPE positions do not (mask-cumsum, modeling:1506-1534).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Mapping, Optional, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ParlerTTSConfig
+from ..ops.losses import shift_tokens_right
+from ..ops.masks import dense_self_attention_bias, padding_cross_attention_bias
+from ..ops.positions import sinusoidal_embed, sinusoidal_table
+from .decoder import ParlerForCausalLM
+from .t5_encoder import T5Encoder, convert_t5_encoder_params
+
+
+class ParlerTTS(nn.Module):
+    config: ParlerTTSConfig
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        cfg = self.config
+        self.text_encoder = T5Encoder(cfg.text_encoder, self.dtype, name="text_encoder")
+        self.decoder_lm = ParlerForCausalLM(cfg.decoder, self.dtype, name="decoder")
+        # prompt embedding: (prompt_vocab, decoder_hidden) — modeling:2395
+        self.embed_prompts = nn.Embed(
+            cfg.vocab_size, cfg.decoder.hidden_size, dtype=self.dtype, name="embed_prompts",
+            embedding_init=nn.initializers.normal(cfg.decoder.initializer_factor),
+        )
+        # projection iff hidden sizes differ — modeling:2388-2392
+        self.needs_proj = (
+            cfg.text_encoder.d_model != cfg.decoder.hidden_size
+            and cfg.decoder.cross_attention_hidden_size is None
+        )
+        if self.needs_proj:
+            self.enc_to_dec_proj = nn.Dense(
+                cfg.decoder.hidden_size, dtype=self.dtype, name="enc_to_dec_proj"
+            )
+
+    # ------------------------------------------------------------- components
+    def encode_description(
+        self,
+        input_ids: jnp.ndarray,
+        attention_mask: Optional[jnp.ndarray],
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        """T5 -> optional projection -> zero masked positions (modeling:3082-3093)."""
+        enc = self.text_encoder(input_ids, attention_mask, deterministic=deterministic)
+        if self.needs_proj:
+            enc = self.enc_to_dec_proj(enc)
+        if attention_mask is not None:
+            enc = enc * attention_mask[..., None].astype(enc.dtype)
+        return enc
+
+    def prompt_hidden(self, prompt_ids: jnp.ndarray) -> jnp.ndarray:
+        return self.embed_prompts(prompt_ids)
+
+    def build_encoder_states(
+        self,
+        encoder_hidden: jnp.ndarray,
+        attention_mask: Optional[jnp.ndarray],
+        prompt_hidden: Optional[jnp.ndarray],
+        prompt_mask: Optional[jnp.ndarray],
+    ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+        """In prompt_cross_attention mode, concat prompt (+ sinusoidal positions)
+        onto the encoder states (modeling:2791-2811)."""
+        cfg = self.config
+        if not cfg.prompt_cross_attention or prompt_hidden is None:
+            return encoder_hidden, attention_mask
+        table = sinusoidal_table(
+            cfg.decoder.max_position_embeddings, cfg.decoder.hidden_size, self.dtype
+        )
+        pos = jnp.arange(prompt_hidden.shape[1])
+        prompt_hidden = prompt_hidden + sinusoidal_embed(table, pos)[None]
+        b = encoder_hidden.shape[0]
+        if prompt_mask is not None and attention_mask is None:
+            attention_mask = jnp.ones(encoder_hidden.shape[:2], jnp.int32)
+        elif attention_mask is not None and prompt_mask is None:
+            prompt_mask = jnp.ones(prompt_hidden.shape[:2], jnp.int32)
+        states = jnp.concatenate([encoder_hidden, prompt_hidden], axis=1)
+        mask = (
+            jnp.concatenate([attention_mask, prompt_mask], axis=1)
+            if attention_mask is not None
+            else None
+        )
+        return states, mask
+
+    # ---------------------------------------------------------- training path
+    def __call__(
+        self,
+        input_ids: jnp.ndarray,                 # (B, S_desc) description ids
+        attention_mask: Optional[jnp.ndarray],  # (B, S_desc)
+        prompt_input_ids: jnp.ndarray,          # (B, S_p)
+        prompt_attention_mask: Optional[jnp.ndarray],
+        labels: jnp.ndarray,                    # (B, T, K)
+        deterministic: bool = True,
+    ):
+        """Teacher-forced forward: returns (logits (B, K, T, V), decoder_input_ids (B, K, T)).
+
+        Mirrors the reference training forward (modeling:2695-2864): T5 encode,
+        prompt embed, shift labels right, decode with prompt prefix.
+        """
+        cfg = self.config
+        enc = self.encode_description(input_ids, attention_mask, deterministic)
+        prompt = self.prompt_hidden(prompt_input_ids)
+
+        decoder_input_ids = shift_tokens_right(
+            labels, cfg.pad_token_id, cfg.decoder_start_token_id
+        )  # (B, K, T)
+        dec_embeds = self.decoder_lm.embed_ids(decoder_input_ids)  # (B, T, D)
+        b, t, _ = dec_embeds.shape
+
+        enc_states, enc_mask = self.build_encoder_states(
+            enc, attention_mask, prompt, prompt_attention_mask
+        )
+
+        if cfg.prompt_cross_attention:
+            full_embeds = dec_embeds
+            dec_mask = jnp.ones((b, t), jnp.int32)
+            s_p = 0
+        else:
+            full_embeds = jnp.concatenate([prompt, dec_embeds], axis=1)
+            if prompt_attention_mask is None:
+                prompt_attention_mask = jnp.ones(prompt.shape[:2], jnp.int32)
+            dec_mask = jnp.concatenate(
+                [prompt_attention_mask, jnp.ones((b, t), jnp.int32)], axis=1
+            )
+            s_p = prompt.shape[1]
+
+        full_t = full_embeds.shape[1]
+        # Positions are absolute for BOTH sinusoidal and RoPE: the reference
+        # sets position_ids from cache_position before its mask-cumsum branch,
+        # making that branch dead code (modeling:1466-1468 vs :1520-1526) —
+        # masked prompt tokens count toward positions in all modes.
+        position_ids = jnp.broadcast_to(jnp.arange(full_t), (b, full_t))
+
+        self_bias = dense_self_attention_bias(dec_mask)
+        cross_bias = padding_cross_attention_bias(enc_mask, full_t)
+
+        logits, _ = self.decoder_lm(
+            full_embeds,
+            position_ids,
+            self_attn_bias=self_bias,
+            encoder_hidden_states=enc_states,
+            cross_attn_bias=cross_bias,
+            deterministic=deterministic,
+        )
+        # keep only label positions (drop the prompt prefix) — modeling:1896-1899
+        logits = logits[:, :, s_p:, :]
+        return logits, decoder_input_ids
+
+
+def convert_composite_params(
+    tensors: Mapping[str, np.ndarray], config: ParlerTTSConfig
+) -> Dict:
+    """Composite HF checkpoint -> `ParlerTTS` params pytree."""
+    from ..utils.hf_bridge import convert_decoder_params
+
+    params: Dict = {
+        "text_encoder": convert_t5_encoder_params(
+            tensors, config.text_encoder, prefix="text_encoder."
+        ),
+        "decoder": convert_decoder_params(
+            tensors,
+            config.decoder,
+            prefix="decoder.model.decoder.",
+            lm_head_prefix="decoder.",
+        ),
+        "embed_prompts": {"embedding": np.asarray(tensors["embed_prompts.weight"])},
+    }
+    if "enc_to_dec_proj.weight" in tensors:
+        params["enc_to_dec_proj"] = {
+            "kernel": np.ascontiguousarray(np.asarray(tensors["enc_to_dec_proj.weight"]).T),
+            "bias": np.asarray(tensors["enc_to_dec_proj.bias"]),
+        }
+    return params

@@ -1,0 +1,353 @@
+"""TPU-native generation runtime.
+
+The reference drives generation from a Python loop over `GenerationMixin._sample`
+with a stateful logits processor and per-step host work
+(`/root/reference/parler_tts/modeling_parler_tts.py:3321-3653`). Here the ENTIRE
+token loop — prefill, per-step decoder forward over the static KV cache,
+delay-pattern override, EOS-ordering constraint, min-length suppression,
+temperature/top-k/top-p sampling, early-exit — is one jitted program built from
+`lax.while_loop`, compiled once and iterated on-device with zero host syncs.
+
+Variable-length generation under static shapes: the loop early-exits when every
+codebook of every sample has emitted EOS; unsampled tail columns hold PAD so
+`valid_frame_lengths` recovers the per-sample `audios_length` output parity
+(reference modeling:3648-3650).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+from ..config import GenerationConfig, ParlerTTSConfig
+from ..models.decoder import DecoderCache
+from ..models.parler import ParlerTTS
+from ..ops.delay_pattern import (
+    apply_delay_pattern_mask,
+    build_delay_pattern_mask,
+    undelay_pattern,
+    valid_frame_lengths,
+)
+from ..ops.masks import causal_self_attention_bias, padding_cross_attention_bias
+from ..ops.sampling import (
+    EosState,
+    advance_eos_state,
+    init_eos_state,
+    mask_eos_ordering,
+    record_sampled,
+    sample_tokens,
+    suppress_eos_before_min_length,
+)
+
+
+@flax.struct.dataclass
+class GenLoopState:
+    out_ids: jnp.ndarray   # (B, K, L) delayed ids (pattern-overridden)
+    cache: DecoderCache
+    eos: EosState
+    rng: jax.Array
+    t: jnp.ndarray         # () int32 — next column to sample
+
+
+class GenerateOutput(NamedTuple):
+    delayed_ids: jnp.ndarray  # (B, K, L)
+    codes: jnp.ndarray        # (B, K, L - K) un-delayed
+    lengths: jnp.ndarray      # (B,) valid frame counts
+    steps: jnp.ndarray        # () columns actually sampled (early exit aware)
+
+
+def _sample_column(
+    logits: jnp.ndarray,  # (B, K, V)
+    t: jnp.ndarray,
+    eos_state: EosState,
+    pattern: jnp.ndarray,
+    rng: jax.Array,
+    gen: GenerationConfig,
+    num_codebooks: int,
+) -> Tuple[jnp.ndarray, EosState]:
+    """One sampling event: processors in reference order (min-length -> EOS
+    ordering -> warpers), finished-row PAD forcing, delay-pattern override."""
+    x = logits.astype(jnp.float32)
+    if gen.min_new_tokens > 0:
+        x = suppress_eos_before_min_length(x, t, gen.min_new_tokens + 1, gen.eos_token_id)
+    eos_state = advance_eos_state(eos_state, num_codebooks)
+    x = mask_eos_ordering(x, eos_state, gen.eos_token_id)
+    toks = sample_tokens(
+        rng, x,
+        do_sample=gen.do_sample, temperature=gen.temperature,
+        top_k=gen.top_k, top_p=gen.top_p,
+    )
+    # finished rows keep emitting PAD (== EOS id in the v1 layout), mirroring
+    # HF `_sample`'s unfinished-sequence fill
+    toks = jnp.where(eos_state.eos_seen, gen.pad_token_id, toks)
+    eos_state = record_sampled(eos_state, toks, gen.eos_token_id)
+    pat_col = pattern[:, :, t]
+    stored = jnp.where(pat_col == -1, toks, pat_col)
+    return stored, eos_state
+
+
+def generate_tokens(
+    model: ParlerTTS,
+    gen: GenerationConfig,
+    params,
+    desc_ids: jnp.ndarray,
+    desc_mask: Optional[jnp.ndarray],
+    prompt_ids: jnp.ndarray,
+    prompt_mask: Optional[jnp.ndarray],
+    rng: jax.Array,
+    cache_dtype=jnp.float32,
+) -> GenerateOutput:
+    """Full token generation (trace-once; wrap in jax.jit via `make_generate`)."""
+    cfg: ParlerTTSConfig = model.config
+    dcfg = cfg.decoder
+    k_cb, max_len = dcfg.num_codebooks, gen.max_length
+    b = desc_ids.shape[0]
+    variables = {"params": params}
+
+    if desc_mask is None:
+        desc_mask = jnp.ones_like(desc_ids)
+    if prompt_mask is None:
+        prompt_mask = jnp.ones_like(prompt_ids)
+
+    # ---- encoder precompute
+    enc = model.apply(variables, desc_ids, desc_mask, method="encode_description")
+    prompt = model.apply(variables, prompt_ids, method="prompt_hidden")
+    enc_states, enc_mask = model.apply(
+        variables, enc, desc_mask,
+        prompt if cfg.prompt_cross_attention else None,
+        prompt_mask if cfg.prompt_cross_attention else None,
+        method="build_encoder_states",
+    )
+
+    if cfg.prompt_cross_attention:
+        s_p = 0
+        prefix = jnp.zeros((b, 0, dcfg.hidden_size), enc_states.dtype)
+        prefix_mask = jnp.zeros((b, 0), jnp.int32)
+    else:
+        s_p = prompt_ids.shape[1]
+        prefix = prompt
+        prefix_mask = prompt_mask.astype(jnp.int32)
+
+    # ---- delay pattern
+    start = jnp.full((b, k_cb, 1), gen.bos_token_id, jnp.int32)
+    first_ids, pattern = build_delay_pattern_mask(
+        start, gen.bos_token_id, gen.pad_token_id, max_len
+    )
+    out_ids = jnp.where(pattern == -1, gen.pad_token_id, pattern)
+
+    # ---- cache + masks
+    s_cache = s_p + max_len
+    cache = DecoderCache.zeros(dcfg, b, s_cache, enc_states.shape[1], cache_dtype)
+    cross_k, cross_v = model.apply(
+        variables, enc_states, method=lambda m, x: m.decoder_lm.precompute_cross_kv(x)
+    )
+    cache = cache.replace(cross_k=cross_k, cross_v=cross_v)
+
+    kv_valid = jnp.concatenate(
+        [prefix_mask.astype(bool), jnp.ones((b, max_len), bool)], axis=1
+    )
+
+    # Positions are ABSOLUTE cache-slot indices for both sinusoidal and RoPE:
+    # the reference derives position_ids from cache_position before its RoPE
+    # mask-cumsum branch, which is therefore dead code (modeling:1466-1468).
+    def decoder_forward(embeds, abs_positions, cache):
+        bias = causal_self_attention_bias(abs_positions, kv_valid)
+        cross_bias = padding_cross_attention_bias(enc_mask, embeds.shape[1])
+        return model.apply(
+            variables, embeds, abs_positions,
+            self_attn_bias=bias, cross_attn_bias=cross_bias, cache=cache,
+            method=lambda m, *a, **kw: m.decoder_lm(*a, **kw),
+        )
+
+    def embed_ids(ids):
+        return model.apply(
+            variables, ids, method=lambda m, x: m.decoder_lm.embed_ids(x)
+        )
+
+    # ---- prefill: [prompt prefix, BOS column 0]
+    emb0 = embed_ids(first_ids)
+    pre_embeds = jnp.concatenate([prefix.astype(emb0.dtype), emb0], axis=1)
+    abs_pos = jnp.broadcast_to(jnp.arange(s_p + 1), (b, s_p + 1))
+    logits_pre, cache = decoder_forward(pre_embeds, abs_pos, cache)
+
+    # ---- first sampled column
+    rng, r1 = jax.random.split(rng)
+    eos_state = init_eos_state(b, k_cb)
+    col1, eos_state = _sample_column(
+        logits_pre[:, :, -1, :], jnp.int32(1), eos_state, pattern, r1, gen, k_cb
+    )
+    out_ids = out_ids.at[:, :, 1].set(col1)
+
+    # ---- decode loop: sample columns 2 .. L-1
+    def cond(s: GenLoopState):
+        return (s.t < max_len) & ~jnp.all(s.eos.eos_seen)
+
+    def body(s: GenLoopState):
+        col_in = jax.lax.dynamic_slice_in_dim(s.out_ids, s.t - 1, 1, axis=2)  # (B,K,1)
+        emb = embed_ids(col_in)
+        q_pos = jnp.full((b, 1), s_p, jnp.int32) + (s.t - 1)
+        logits, cache = decoder_forward(emb, q_pos, s.cache)
+        rng, r = jax.random.split(s.rng)
+        col, eos = _sample_column(
+            logits[:, :, -1, :], s.t, s.eos, pattern, r, gen, k_cb
+        )
+        out = jax.lax.dynamic_update_slice(
+            s.out_ids, col[:, :, None], (0, 0, s.t)
+        )
+        return GenLoopState(out, cache, eos, rng, s.t + 1)
+
+    init = GenLoopState(out_ids, cache, eos_state, rng, jnp.int32(2))
+    final = jax.lax.while_loop(cond, body, init)
+
+    delayed = apply_delay_pattern_mask(final.out_ids, pattern)
+    codes = undelay_pattern(delayed, k_cb)
+    lengths = valid_frame_lengths(codes, dcfg.pad_token_id)  # pad==eos==codebook_size
+    return GenerateOutput(delayed, codes, lengths, final.t)
+
+
+def make_generate(model: ParlerTTS, gen: GenerationConfig, cache_dtype=jnp.float32):
+    """jit-wrapped `generate_tokens` (one compile per input-shape signature)."""
+
+    @functools.partial(jax.jit, static_argnames=())
+    def fn(params, desc_ids, desc_mask, prompt_ids, prompt_mask, rng):
+        return generate_tokens(
+            model, gen, params, desc_ids, desc_mask, prompt_ids, prompt_mask,
+            rng, cache_dtype=cache_dtype,
+        )
+
+    return fn
+
+
+# ------------------------------------------------------------------ streaming
+@flax.struct.dataclass
+class StreamState:
+    """Carried state for the host-driven streaming loop (prefill + chunk steps)."""
+
+    out_ids: jnp.ndarray
+    cache: DecoderCache
+    eos: EosState
+    rng: jax.Array
+    t: jnp.ndarray
+    pattern: jnp.ndarray
+    kv_valid: jnp.ndarray
+    enc_mask: Optional[jnp.ndarray]
+    s_p: jnp.ndarray
+
+
+def make_stream_functions(model: ParlerTTS, gen: GenerationConfig, cache_dtype=jnp.float32):
+    """(prefill_fn, step_chunk_fn) for streaming generation.
+
+    `prefill_fn(params, desc..., prompt..., rng) -> StreamState`
+    `step_chunk_fn(params, state, n_steps) -> StreamState` advances a fixed
+    number of columns (static n via closure-free scan bound by `gen.max_length`,
+    masked by done state) so the host can fetch tokens every `play_steps`.
+    """
+    cfg = model.config
+    dcfg = cfg.decoder
+    k_cb, max_len = dcfg.num_codebooks, gen.max_length
+
+    @jax.jit
+    def prefill_fn(params, desc_ids, desc_mask, prompt_ids, prompt_mask, rng):
+        b = desc_ids.shape[0]
+        variables = {"params": params}
+        if desc_mask is None:
+            desc_mask = jnp.ones_like(desc_ids)
+        if prompt_mask is None:
+            prompt_mask = jnp.ones_like(prompt_ids)
+        enc = model.apply(variables, desc_ids, desc_mask, method="encode_description")
+        prompt = model.apply(variables, prompt_ids, method="prompt_hidden")
+        enc_states, enc_mask = model.apply(
+            variables, enc, desc_mask,
+            prompt if cfg.prompt_cross_attention else None,
+            prompt_mask if cfg.prompt_cross_attention else None,
+            method="build_encoder_states",
+        )
+        if cfg.prompt_cross_attention:
+            s_p = 0
+            prefix = jnp.zeros((b, 0, dcfg.hidden_size), enc_states.dtype)
+            prefix_mask = jnp.zeros((b, 0), jnp.int32)
+        else:
+            s_p = prompt_ids.shape[1]
+            prefix = prompt
+            prefix_mask = prompt_mask.astype(jnp.int32)
+
+        start = jnp.full((b, k_cb, 1), gen.bos_token_id, jnp.int32)
+        first_ids, pattern = build_delay_pattern_mask(
+            start, gen.bos_token_id, gen.pad_token_id, max_len
+        )
+        out_ids = jnp.where(pattern == -1, gen.pad_token_id, pattern)
+
+        cache = DecoderCache.zeros(dcfg, b, s_p + max_len, enc_states.shape[1], cache_dtype)
+        cross_k, cross_v = model.apply(
+            variables, enc_states, method=lambda m, x: m.decoder_lm.precompute_cross_kv(x)
+        )
+        cache = cache.replace(cross_k=cross_k, cross_v=cross_v)
+        kv_valid = jnp.concatenate(
+            [prefix_mask.astype(bool), jnp.ones((b, max_len), bool)], axis=1
+        )
+
+        emb0 = model.apply(variables, first_ids, method=lambda m, x: m.decoder_lm.embed_ids(x))
+        pre_embeds = jnp.concatenate([prefix.astype(emb0.dtype), emb0], axis=1)
+        abs_pos = jnp.broadcast_to(jnp.arange(s_p + 1), (b, s_p + 1))
+        bias = causal_self_attention_bias(abs_pos, kv_valid)
+        cross_bias = padding_cross_attention_bias(enc_mask, s_p + 1)
+        logits_pre, cache = model.apply(
+            variables, pre_embeds, abs_pos,
+            self_attn_bias=bias, cross_attn_bias=cross_bias, cache=cache,
+            method=lambda m, *a, **kw: m.decoder_lm(*a, **kw),
+        )
+        rng, r1 = jax.random.split(rng)
+        eos_state = init_eos_state(b, k_cb)
+        col1, eos_state = _sample_column(
+            logits_pre[:, :, -1, :], jnp.int32(1), eos_state, pattern, r1, gen, k_cb
+        )
+        out_ids = out_ids.at[:, :, 1].set(col1)
+        return StreamState(
+            out_ids, cache, eos_state, rng, jnp.int32(2), pattern, kv_valid,
+            enc_mask, jnp.int32(s_p),
+        )
+
+    @functools.partial(jax.jit, static_argnames=("n_steps",))
+    def step_chunk_fn(params, state: StreamState, n_steps: int):
+        variables = {"params": params}
+        b = state.out_ids.shape[0]
+
+        def one(s: StreamState, _):
+            done = (s.t >= max_len) | jnp.all(s.eos.eos_seen)
+
+            col_in = jax.lax.dynamic_slice_in_dim(s.out_ids, s.t - 1, 1, axis=2)
+            emb = model.apply(variables, col_in, method=lambda m, x: m.decoder_lm.embed_ids(x))
+            q_pos = s.s_p[None, None] + (s.t - 1)
+            q_pos = jnp.broadcast_to(q_pos, (b, 1)).astype(jnp.int32)
+            bias = causal_self_attention_bias(q_pos, s.kv_valid)
+            cross_bias = padding_cross_attention_bias(s.enc_mask, 1)
+            logits, cache = model.apply(
+                variables, emb, q_pos,
+                self_attn_bias=bias, cross_attn_bias=cross_bias, cache=s.cache,
+                method=lambda m, *a, **kw: m.decoder_lm(*a, **kw),
+            )
+            rng, r = jax.random.split(s.rng)
+            col, eos = _sample_column(
+                logits[:, :, -1, :], s.t, s.eos, s.pattern, r, gen, k_cb
+            )
+            out = jax.lax.dynamic_update_slice(s.out_ids, col[:, :, None], (0, 0, s.t))
+
+            # freeze everything once done (static-shape no-op steps)
+            new = StreamState(
+                jnp.where(done, s.out_ids, out),
+                jax.tree.map(lambda a, c: jnp.where(done, a, c), s.cache, cache),
+                jax.tree.map(lambda a, c: jnp.where(done, a, c), s.eos, eos),
+                jnp.where(done, s.rng, rng),
+                jnp.where(done, s.t, s.t + 1),
+                s.pattern, s.kv_valid, s.enc_mask, s.s_p,
+            )
+            return new, None
+
+        state, _ = jax.lax.scan(one, state, None, length=n_steps)
+        return state
+
+    return prefill_fn, step_chunk_fn

@@ -1,0 +1,226 @@
+"""End-to-end parity: composite model forward + full greedy generation vs the
+reference `ParlerTTSForConditionalGeneration` (tokens compared at the
+audio_encoder.decode boundary, which is where the reference hands off to DAC).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+from transformers import GenerationConfig as HFGenCfg
+from transformers import T5Config as HFT5Config
+from transformers import T5EncoderModel
+
+from parler_tts_tpu.config import (
+    DACConfig,
+    DecoderConfig,
+    GenerationConfig,
+    ParlerTTSConfig,
+    T5Config,
+)
+from parler_tts_tpu.models.parler import ParlerTTS, convert_composite_params
+from parler_tts_tpu.ops.losses import mean_loss_reference_style
+from parler_tts_tpu.runtime.generate import make_generate
+from parler_tts_tpu.utils.hf_bridge import torch_state_dict_to_numpy
+
+from reference_oracle import (
+    DecodeCapture,
+    import_reference_parler_tts,
+    make_reference_composite_class,
+)
+
+ref_pkg = import_reference_parler_tts()
+RefComposite = make_reference_composite_class()
+
+PAD, BOS = 88, 89  # eos == pad == 88 (v1 token layout at tiny scale)
+
+
+def build_pair(seed=0, prompt_cross_attention=False, rope=False):
+    torch.manual_seed(seed)
+    t5 = T5EncoderModel(
+        HFT5Config(
+            vocab_size=120, d_model=48, d_kv=12, d_ff=96, num_layers=2, num_heads=4,
+            relative_attention_num_buckets=8, relative_attention_max_distance=20,
+            feed_forward_proj="gated-gelu", dropout_rate=0.0,
+        )
+    ).eval()
+    dec_cfg = ref_pkg.ParlerTTSDecoderConfig(
+        vocab_size=100, hidden_size=64, num_hidden_layers=2, num_attention_heads=4,
+        ffn_dim=128, num_codebooks=4, max_position_embeddings=256,
+        pad_token_id=PAD, bos_token_id=BOS, eos_token_id=PAD, dropout=0.0,
+        rope_embeddings=rope,
+    )
+    dec = ref_pkg.ParlerTTSForCausalLM(dec_cfg).eval()
+    from parler_tts.dac_wrapper import DACConfig as RefDACConfig
+    from parler_tts.dac_wrapper.modeling_dac import DACModel as RefDACModel
+
+    dac = RefDACModel(
+        RefDACConfig(num_codebooks=4, codebook_size=PAD, latent_dim=32,
+                     frame_rate=50, sampling_rate=16000)
+    ).eval()
+    ref = RefComposite(text_encoder=t5, audio_encoder=dac, decoder=dec).eval()
+    ref.prompt_cross_attention = prompt_cross_attention
+    ref.config.prompt_cross_attention = prompt_cross_attention
+    ref.config.pad_token_id = PAD
+    ref.config.decoder_start_token_id = BOS
+    if prompt_cross_attention and not hasattr(ref, "embed_positions"):
+        from parler_tts.modeling_parler_tts import ParlerTTSSinusoidalPositionalEmbedding
+
+        ref.embed_positions = ParlerTTSSinusoidalPositionalEmbedding(256, 64)
+
+    cfg = ParlerTTSConfig(
+        text_encoder=T5Config(
+            vocab_size=120, d_model=48, d_kv=12, d_ff=96, num_layers=2, num_heads=4,
+            relative_attention_num_buckets=8, relative_attention_max_distance=20,
+            feed_forward_proj="gated-gelu", dropout_rate=0.0,
+        ),
+        audio_encoder=DACConfig(num_codebooks=4, codebook_size=PAD),
+        decoder=DecoderConfig(
+            vocab_size=100, hidden_size=64, num_hidden_layers=2, num_attention_heads=4,
+            ffn_dim=128, num_codebooks=4, max_position_embeddings=256,
+            pad_token_id=PAD, bos_token_id=BOS, eos_token_id=PAD, dropout=0.0,
+            rope_embeddings=rope,
+        ),
+        vocab_size=1024,
+        prompt_cross_attention=prompt_cross_attention,
+        pad_token_id=PAD,
+        decoder_start_token_id=BOS,
+    )
+    model = ParlerTTS(cfg)
+    params = convert_composite_params(torch_state_dict_to_numpy(ref.state_dict()), cfg)
+    return ref, model, params, cfg
+
+
+def _inputs(seed=1, b=2, s_desc=9, s_p=5, t=12, k=4):
+    rng = np.random.default_rng(seed)
+    desc = rng.integers(0, 120, size=(b, s_desc))
+    desc_mask = np.ones((b, s_desc), dtype=np.int64)
+    desc_mask[1, 6:] = 0
+    prompt = rng.integers(0, 1024, size=(b, s_p))
+    prompt_mask = np.ones((b, s_p), dtype=np.int64)
+    prompt_mask[0, :2] = 0  # left padding
+    labels = rng.integers(0, PAD, size=(b, t, k))
+    return desc, desc_mask, prompt, prompt_mask, labels
+
+
+@pytest.mark.parametrize("pca", [False, True])
+def test_training_forward_parity(pca):
+    ref, model, params, cfg = build_pair(prompt_cross_attention=pca)
+    desc, desc_mask, prompt, prompt_mask, labels = _inputs()
+
+    with torch.no_grad():
+        ref_out = ref(
+            input_ids=torch.tensor(desc),
+            attention_mask=torch.tensor(desc_mask),
+            prompt_input_ids=torch.tensor(prompt),
+            prompt_attention_mask=torch.tensor(prompt_mask),
+            labels=torch.tensor(labels),
+        )
+    b, t, k = labels.shape
+    # reference returns logits for the full (prompt + labels) length; only the
+    # loss path slices to label positions (modeling:1896-1899) — compare those
+    ref_logits = ref_out.logits.reshape(b, k, -1, ref_out.logits.shape[-1])[:, :, -t:].numpy()
+
+    logits, dec_in = model.apply(
+        {"params": params},
+        jnp.asarray(desc), jnp.asarray(desc_mask),
+        jnp.asarray(prompt), jnp.asarray(prompt_mask),
+        jnp.asarray(labels),
+    )
+    np.testing.assert_allclose(np.asarray(logits), ref_logits, atol=3e-4, rtol=1e-3)
+
+    loss, _ = mean_loss_reference_style(
+        logits, jnp.asarray(labels), dec_in,
+        bos_token_id=BOS, eos_token_id=PAD,
+    )
+    np.testing.assert_allclose(float(loss), float(ref_out.loss), rtol=1e-4)
+
+
+def _reference_generate_codes(ref, desc, desc_mask, prompt, prompt_mask, max_len, min_new):
+    cap = DecodeCapture()
+    ref.audio_encoder.decode = cap
+    ref.generation_config = HFGenCfg(
+        bos_token_id=BOS, pad_token_id=PAD, eos_token_id=PAD,
+        decoder_start_token_id=BOS, do_sample=False,
+        max_length=max_len, min_new_tokens=min_new,
+    )
+    with torch.no_grad():
+        ref.generate(
+            input_ids=torch.tensor(desc), attention_mask=torch.tensor(desc_mask),
+            prompt_input_ids=torch.tensor(prompt),
+            prompt_attention_mask=torch.tensor(prompt_mask),
+        )
+    # one batched call (no specials) or one call per sample (sequential path)
+    return [c.reshape(-1, c.shape[-2], c.shape[-1])[-c.shape[-3] if c.ndim == 4 else 1:]
+            for c in cap.codes]
+
+
+@pytest.mark.parametrize("pca,rope", [(False, False), (True, False), (False, True)])
+def test_greedy_generation_token_parity(pca, rope):
+    ref, model, params, cfg = build_pair(prompt_cross_attention=pca, rope=rope)
+    desc, desc_mask, prompt, prompt_mask, _ = _inputs()
+    # NB: max_length must differ from HF GenerationConfig's default (20), which
+    # triggers a "+input_ids_length" adjustment inside _prepare_generated_length
+    max_len, min_new = 24, 8
+
+    captured = _reference_generate_codes(
+        ref, desc, desc_mask, prompt, prompt_mask, max_len, min_new
+    )
+
+    gen = GenerationConfig(
+        max_length=max_len, min_new_tokens=min_new, do_sample=False,
+        bos_token_id=BOS, pad_token_id=PAD, eos_token_id=PAD,
+    )
+    fn = make_generate(model, gen)
+    out = fn(
+        params,
+        jnp.asarray(desc), jnp.asarray(desc_mask),
+        jnp.asarray(prompt), jnp.asarray(prompt_mask),
+        jax.random.key(0),
+    )
+    codes = np.asarray(out.codes)
+    lengths = np.asarray(out.lengths)
+
+    if len(captured) == 1 and captured[0].shape[0] == codes.shape[0]:
+        # batched decode path: all frames valid for every sample
+        ref_codes = captured[0].numpy()
+        np.testing.assert_array_equal(codes[:, :, : ref_codes.shape[-1]], ref_codes)
+        assert (lengths >= ref_codes.shape[-1]).all()
+    else:
+        # Sequential path: the reference COMPACTS scattered valid frames
+        # (frames where every codebook id < codebook_size) before decoding
+        # (modeling:3630-3637) — an untrained-model artifact, since a trained
+        # model never emits out-of-codebook ids mid-stream. Compare the same
+        # compaction of our codes; token streams must agree exactly.
+        assert len(captured) == codes.shape[0]
+        frame_ok = np.all(codes < PAD, axis=1)  # (B, T)
+        for b, ref_c in enumerate(captured):
+            ref_c = ref_c.numpy()[0] if ref_c.ndim == 3 else ref_c.numpy()
+            ours_c = codes[b][:, frame_ok[b]]
+            np.testing.assert_array_equal(ours_c, ref_c)
+            assert lengths[b] <= ref_c.shape[-1]
+
+
+def test_generation_sampled_shapes_and_determinism():
+    _, model, params, cfg = build_pair(seed=5)
+    desc, desc_mask, prompt, prompt_mask, _ = _inputs(seed=6)
+    gen = GenerationConfig(
+        max_length=16, min_new_tokens=4, do_sample=True, temperature=0.9,
+        top_k=20, top_p=0.95, bos_token_id=BOS, pad_token_id=PAD, eos_token_id=PAD,
+    )
+    fn = make_generate(model, gen)
+    args = (
+        params, jnp.asarray(desc), jnp.asarray(desc_mask),
+        jnp.asarray(prompt), jnp.asarray(prompt_mask),
+    )
+    out1 = fn(*args, jax.random.key(7))
+    out2 = fn(*args, jax.random.key(7))
+    out3 = fn(*args, jax.random.key(8))
+    np.testing.assert_array_equal(np.asarray(out1.codes), np.asarray(out2.codes))
+    assert out1.codes.shape == (2, 4, 12)
+    assert not np.array_equal(np.asarray(out1.codes), np.asarray(out3.codes))
+    # delay-pattern invariant: BOS lower-triangle survives in the delayed grid
+    delayed = np.asarray(out1.delayed_ids)
+    for k in range(4):
+        assert np.all(delayed[:, k, : k + 1] == BOS)
