@@ -1,0 +1,135 @@
+"""Benchmark: RTFx (generated audio seconds per wall second) on the mini-v1
+architecture, single chip, end to end (T5 encode -> AR token loop -> DAC decode).
+
+Also measures time-to-first-audio (TTFA) through the streaming path and prints
+ONE JSON line for the driver. `vs_baseline` is RTFx relative to the north-star
+target of 10x real time on one chip (BASELINE.json; the reference publishes no
+absolute RTFx, only relative speedups — INFERENCE.md:3).
+
+Random weights, fixed token budget (EOS suppressed via min_new_tokens) so the
+loop always runs the full length — wall time is architecture-, not
+checkpoint-, dependent.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def build_pipeline(max_length: int, seconds_target: float):
+    from parler_tts_tpu.config import GenerationConfig
+    from parler_tts_tpu.runtime.pipeline import ParlerTTSPipeline
+    from __graft_entry__ import _flagship_config
+
+    cfg = _flagship_config()
+    gen = GenerationConfig(
+        max_length=max_length,
+        min_new_tokens=max_length,  # force full-length generation
+        do_sample=True,
+        temperature=1.0,
+        bos_token_id=cfg.decoder.bos_token_id,
+        pad_token_id=cfg.decoder.pad_token_id,
+        eos_token_id=cfg.decoder.eos_token_id,
+        codebook_guard=cfg.audio_encoder.codebook_size,
+    )
+    from parler_tts_tpu.models.parler import ParlerTTS
+    from parler_tts_tpu.codec.dac_model import DACModel
+
+    model = ParlerTTS(cfg, dtype=jnp.bfloat16)
+    k1, k2 = jax.random.split(jax.random.key(0))
+    params = jax.jit(model.init)(
+        k1,
+        jnp.zeros((1, 4), jnp.int32), jnp.ones((1, 4), jnp.int32),
+        jnp.zeros((1, 3), jnp.int32), jnp.ones((1, 3), jnp.int32),
+        jnp.zeros((1, 2, cfg.decoder.num_codebooks), jnp.int32),
+    )["params"]
+    dac = DACModel(cfg.audio_encoder)
+    dac_params = jax.jit(
+        lambda k: dac.init(
+            k, jnp.zeros((1, cfg.audio_encoder.num_codebooks, 2), jnp.int32),
+            method="decode",
+        )
+    )(k2)["params"]
+    return ParlerTTSPipeline(model, params, dac, dac_params, gen)
+
+
+def main():
+    frame_rate = 86
+    seconds_target = 10.0
+    max_length = int(seconds_target * frame_rate)  # 860 steps
+
+    pipe = build_pipeline(max_length, seconds_target)
+
+    rng = np.random.default_rng(0)
+    desc = rng.integers(0, 32000, size=(1, 16)).astype(np.int32)
+    desc_mask = np.ones((1, 16), np.int32)
+    prompt = rng.integers(0, 32000, size=(1, 8)).astype(np.int32)
+    prompt_mask = np.ones((1, 8), np.int32)
+
+    k_cb = pipe.config.decoder.num_codebooks
+    cb_size = pipe.config.audio_encoder.codebook_size
+    n_frames = max_length - k_cb  # fixed token budget -> fixed audio length
+    audio_seconds = n_frames / frame_rate
+
+    def decode_full(codes):
+        # Random weights emit out-of-codebook ids; clamp so the codec decode
+        # cost is measured on the full frame grid (a trained checkpoint fills
+        # it with real codes).
+        audio = pipe._decode_jit(
+            pipe.dac_params, jnp.clip(codes, 0, cb_size - 1)
+        )
+        jax.block_until_ready(audio)
+        return audio
+
+    # ---- warmup / compile
+    t0 = time.perf_counter()
+    out = pipe.generate_codes(desc, desc_mask, prompt, prompt_mask, seed=0)
+    jax.block_until_ready(out.codes)
+    decode_full(out.codes)
+    compile_s = time.perf_counter() - t0
+
+    # ---- timed RTFx runs (token loop + codec decode, end to end)
+    runs = 3
+    times, gen_steps = [], []
+    for i in range(runs):
+        t0 = time.perf_counter()
+        out = pipe.generate_codes(desc, desc_mask, prompt, prompt_mask, seed=i + 1)
+        jax.block_until_ready(out.codes)
+        decode_full(out.codes)
+        times.append(time.perf_counter() - t0)
+        gen_steps.append(int(out.steps))
+
+    rtfx = audio_seconds / float(np.median(times))
+
+    # ---- TTFA via streaming (prefill + first chunk + decode), warmed
+    play_steps = 86  # ~1 s of audio per flush
+    ttfas = []
+    for i in range(4):
+        t0 = time.perf_counter()
+        for _chunk in pipe.stream(desc, desc_mask, prompt, prompt_mask,
+                                  play_steps=play_steps, seed=100 + i):
+            ttfas.append(time.perf_counter() - t0)
+            break
+    ttfas = ttfas[1:]  # drop the compile run
+    ttfa_p50 = float(np.median(ttfas)) if ttfas else -1.0
+
+    result = {
+        "metric": "RTFx mini-v1 1-chip e2e (10s gen); aux: ttfa_p50_s, compile_s",
+        "value": round(rtfx, 3),
+        "unit": "x_realtime",
+        "vs_baseline": round(rtfx / 10.0, 3),
+        "ttfa_p50_s": round(ttfa_p50, 3),
+        "compile_s": round(compile_s, 1),
+        "steps_per_s": round(max_length / float(np.median(times)), 1),
+        "audio_s": round(audio_seconds, 2),
+        "gen_steps": int(np.median(gen_steps)),
+        "platform": jax.devices()[0].platform,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -188,6 +188,11 @@ class GenerationConfig:
     bos_token_id: int = 1025
     pad_token_id: int = 1024
     eos_token_id: int = 1024
+    # When set, only ids < codebook_guard (plus EOS) can be sampled — a serving
+    # guardrail that keeps every emitted frame codec-decodable. Trained
+    # checkpoints essentially never emit out-of-codebook ids; this makes that a
+    # hard guarantee (and makes random-weight benches behave like trained ones).
+    codebook_guard: Optional[int] = None
 
 
 def dummy_decoder_config(**overrides: Any) -> DecoderConfig:

@@ -72,6 +72,11 @@ def _sample_column(
     """One sampling event: processors in reference order (min-length -> EOS
     ordering -> warpers), finished-row PAD forcing, delay-pattern override."""
     x = logits.astype(jnp.float32)
+    if gen.codebook_guard is not None:
+        v = x.shape[-1]
+        ids = jnp.arange(v)
+        blocked = (ids >= gen.codebook_guard) & (ids != gen.eos_token_id)
+        x = jnp.where(blocked[None, None, :], jnp.finfo(jnp.float32).min, x)
     if gen.min_new_tokens > 0:
         x = suppress_eos_before_min_length(x, t, gen.min_new_tokens + 1, gen.eos_token_id)
     eos_state = advance_eos_state(eos_state, num_codebooks)

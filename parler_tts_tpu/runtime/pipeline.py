@@ -1,0 +1,351 @@
+"""User-facing pipeline: text in -> waveform out.
+
+API parity with the reference's `ParlerTTSForConditionalGeneration.generate`
+(`/root/reference/parler_tts/modeling_parler_tts.py:3321-3653`) plus
+checkpoint loading from HF-format directories (safetensors). Host-side work is
+limited to tokenization and shape bucketing; everything else runs in two jitted
+programs (token generation, codec decode).
+
+Codec decode is bucketed: per-batch max frame counts are rounded up to
+`frame_bucket` so a handful of compiled decode shapes cover all lengths instead
+of always paying the full-max_length conv stack (the reference pays per-sample
+dynamic shapes instead, modeling:3615-3647).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..codec.convert import convert_dac_params
+from ..codec.dac_model import DACModel
+from ..config import (
+    DACConfig,
+    DecoderConfig,
+    GenerationConfig,
+    ParlerTTSConfig,
+    T5Config,
+)
+from ..models.parler import ParlerTTS, convert_composite_params
+from .generate import make_generate, make_stream_functions
+
+
+def _round_up(x: int, m: int) -> int:
+    return max(m, ((x + m - 1) // m) * m)
+
+
+def load_hf_config(path: str) -> ParlerTTSConfig:
+    """Parse an HF-format `config.json` into our config tree."""
+    with open(os.path.join(path, "config.json")) as f:
+        raw = json.load(f)
+    te, ae, de = raw["text_encoder"], raw["audio_encoder"], raw["decoder"]
+    return ParlerTTSConfig(
+        text_encoder=T5Config(
+            vocab_size=te["vocab_size"],
+            d_model=te["d_model"],
+            d_kv=te["d_kv"],
+            d_ff=te["d_ff"],
+            num_layers=te["num_layers"],
+            num_heads=te["num_heads"],
+            relative_attention_num_buckets=te.get("relative_attention_num_buckets", 32),
+            relative_attention_max_distance=te.get("relative_attention_max_distance", 128),
+            feed_forward_proj=te.get("feed_forward_proj", "gated-gelu"),
+            dropout_rate=te.get("dropout_rate", 0.1),
+        ),
+        audio_encoder=DACConfig(
+            num_codebooks=ae.get("num_codebooks", 9),
+            codebook_size=ae.get("codebook_size", 1024),
+            latent_dim=ae.get("latent_dim", 1024),
+            frame_rate=int(ae.get("frame_rate", 86)),
+            sampling_rate=ae.get("sampling_rate", 44100),
+        ),
+        decoder=DecoderConfig(
+            vocab_size=de["vocab_size"],
+            max_position_embeddings=de.get("max_position_embeddings", 4096),
+            num_hidden_layers=de["num_hidden_layers"],
+            ffn_dim=de["ffn_dim"],
+            num_attention_heads=de["num_attention_heads"],
+            num_key_value_heads=de.get("num_key_value_heads"),
+            num_cross_attention_key_value_heads=de.get("num_cross_attention_key_value_heads"),
+            activation_function=de.get("activation_function", "gelu"),
+            hidden_size=de["hidden_size"],
+            dropout=de.get("dropout", 0.1),
+            num_codebooks=de.get("num_codebooks", 9),
+            pad_token_id=de.get("pad_token_id", 1024),
+            bos_token_id=de.get("bos_token_id", 1025),
+            eos_token_id=de.get("eos_token_id", 1024),
+            rope_embeddings=de.get("rope_embeddings", False),
+            rope_theta=de.get("rope_theta", 10000.0),
+            use_fused_lm_heads=de.get("use_fused_lm_heads", False),
+            codebook_weights=tuple(de["codebook_weights"]) if de.get("codebook_weights") else None,
+        ),
+        vocab_size=raw.get("vocab_size", 32128),
+        prompt_cross_attention=raw.get("prompt_cross_attention", False),
+        pad_token_id=raw.get("pad_token_id", 1024),
+        decoder_start_token_id=raw.get("decoder_start_token_id", 1025),
+    )
+
+
+def load_safetensors_dir(path: str) -> dict:
+    """Load all tensors from (possibly sharded) safetensors in a directory."""
+    from safetensors import safe_open
+
+    files = sorted(
+        f for f in os.listdir(path) if f.endswith(".safetensors")
+    )
+    if not files:
+        raise FileNotFoundError(f"no .safetensors files under {path}")
+    tensors = {}
+    for fname in files:
+        with safe_open(os.path.join(path, fname), framework="numpy") as f:
+            for key in f.keys():
+                tensors[key] = f.get_tensor(key)
+    return tensors
+
+
+class ParlerTTSPipeline:
+    """End-to-end TTS: (description, prompt) -> waveform.
+
+    Mirrors the reference usage pattern (README.md:30-55):
+        pipe = ParlerTTSPipeline.from_pretrained(path)
+        audio, lengths = pipe.generate(["a calm female voice"], ["Hello world"])
+    """
+
+    def __init__(
+        self,
+        model: ParlerTTS,
+        params: Any,
+        dac: DACModel,
+        dac_params: Any,
+        generation_config: Optional[GenerationConfig] = None,
+        tokenizer: Any = None,
+        frame_bucket: int = 256,
+        pad_to_multiple: int = 16,
+    ):
+        self.model = model
+        self.params = params
+        self.dac = dac
+        self.dac_params = dac_params
+        self.config = model.config
+        self.tokenizer = tokenizer
+        self.frame_bucket = frame_bucket
+        self.pad_to_multiple = pad_to_multiple
+        dcfg = model.config.decoder
+        self.generation_config = generation_config or GenerationConfig(
+            bos_token_id=dcfg.bos_token_id,
+            pad_token_id=dcfg.pad_token_id,
+            eos_token_id=dcfg.eos_token_id,
+        )
+        self._generate_fn = make_generate(model, self.generation_config)
+        self._stream_fns = None
+        # jax.jit caches one compiled program per codes shape; bucketing keeps
+        # the number of shapes small
+        self._decode_jit = jax.jit(
+            lambda dac_params, codes: self.dac.apply(
+                {"params": dac_params}, codes, method="decode"
+            )
+        )
+
+    def _decode_fn_for(self, _n_frames: int):
+        return self._decode_jit
+
+    # ------------------------------------------------------------ constructors
+    @classmethod
+    def from_pretrained(
+        cls,
+        path: str,
+        generation_config: Optional[GenerationConfig] = None,
+        tokenizer: Any = None,
+        **kw,
+    ) -> "ParlerTTSPipeline":
+        """Load from an HF-format Parler-TTS checkpoint directory
+        (config.json + safetensors with text_encoder/decoder/audio_encoder)."""
+        cfg = load_hf_config(path)
+        tensors = load_safetensors_dir(path)
+        params = convert_composite_params(tensors, cfg)
+        dac_params = convert_dac_params(tensors, cfg.audio_encoder, prefix="audio_encoder.model.")
+        model = ParlerTTS(cfg)
+        dac = DACModel(cfg.audio_encoder)
+        if tokenizer is None:
+            try:
+                from transformers import AutoTokenizer
+
+                tokenizer = AutoTokenizer.from_pretrained(path)
+            except Exception:
+                tokenizer = None
+        return cls(model, params, dac, dac_params, generation_config, tokenizer, **kw)
+
+    @classmethod
+    def from_random(
+        cls,
+        config: ParlerTTSConfig,
+        seed: int = 0,
+        generation_config: Optional[GenerationConfig] = None,
+        **kw,
+    ) -> "ParlerTTSPipeline":
+        """Randomly initialized pipeline (dev/bench; reference init scripts parity)."""
+        model = ParlerTTS(config)
+        k1, k2 = jax.random.split(jax.random.key(seed))
+        params = model.init(
+            k1,
+            jnp.zeros((1, 4), jnp.int32), jnp.ones((1, 4), jnp.int32),
+            jnp.zeros((1, 3), jnp.int32), jnp.ones((1, 3), jnp.int32),
+            jnp.zeros((1, 2, config.decoder.num_codebooks), jnp.int32),
+        )["params"]
+        dac = DACModel(config.audio_encoder)
+        dac_params = dac.init(
+            k2, jnp.zeros((1, config.audio_encoder.num_codebooks, 2), jnp.int32),
+            method="decode",
+        )["params"]
+        return cls(model, params, dac, dac_params, generation_config, **kw)
+
+    # -------------------------------------------------------------- tokenizing
+    def _encode_text(self, texts: Sequence[str], left_pad: bool) -> Tuple[np.ndarray, np.ndarray]:
+        if self.tokenizer is None:
+            raise ValueError("pipeline has no tokenizer; pass token ids directly")
+        enc = self.tokenizer(list(texts))
+        ids_list = enc["input_ids"]
+        max_len = _round_up(max(len(x) for x in ids_list), self.pad_to_multiple)
+        ids = np.zeros((len(ids_list), max_len), np.int32)
+        mask = np.zeros((len(ids_list), max_len), np.int32)
+        for i, x in enumerate(ids_list):
+            if left_pad:  # prompts pad left (reference arguments.py:91-96)
+                ids[i, max_len - len(x):] = x
+                mask[i, max_len - len(x):] = 1
+            else:
+                ids[i, : len(x)] = x
+                mask[i, : len(x)] = 1
+        return ids, mask
+
+    # -------------------------------------------------------------- generation
+    def generate_codes(
+        self,
+        desc_ids: np.ndarray,
+        desc_mask: Optional[np.ndarray],
+        prompt_ids: np.ndarray,
+        prompt_mask: Optional[np.ndarray],
+        seed: int = 0,
+    ):
+        out = self._generate_fn(
+            self.params,
+            jnp.asarray(desc_ids),
+            jnp.asarray(desc_mask) if desc_mask is not None else None,
+            jnp.asarray(prompt_ids),
+            jnp.asarray(prompt_mask) if prompt_mask is not None else None,
+            jax.random.key(seed),
+        )
+        return out
+
+    def decode_codes(self, codes: jnp.ndarray, lengths: jnp.ndarray):
+        """Bucketed DAC decode: (B, K, T) codes -> (B, samples) waveform + lengths."""
+        hop = self.config.audio_encoder.hop_length
+        max_frames = int(jnp.max(lengths))
+        if max_frames == 0:
+            b = codes.shape[0]
+            return np.zeros((b, hop), np.float32), np.zeros((b,), np.int64)
+        bucket = min(_round_up(max_frames, self.frame_bucket), codes.shape[-1])
+        # invalid tail tokens would index OOB into codebooks; clamp to 0 (those
+        # samples are trimmed by `lengths` anyway)
+        sliced = jnp.clip(codes[:, :, :bucket], 0, self.config.audio_encoder.codebook_size - 1)
+        audio = self._decode_fn_for(bucket)(self.dac_params, sliced)  # (B, T*hop, 1)
+        return np.asarray(audio[:, :, 0]), np.asarray(lengths) * hop
+
+    def generate(
+        self,
+        description: Union[str, Sequence[str], np.ndarray],
+        prompt: Union[str, Sequence[str], np.ndarray],
+        desc_mask: Optional[np.ndarray] = None,
+        prompt_mask: Optional[np.ndarray] = None,
+        seed: int = 0,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Returns (waveform (B, samples), audio_lengths (B,)) — the reference's
+        `generate(...)` + `audios_length` outputs (modeling:3648-3653)."""
+        if isinstance(description, str):
+            description = [description]
+        if isinstance(prompt, str):
+            prompt = [prompt]
+        if isinstance(description, (list, tuple)):
+            desc_ids, desc_mask = self._encode_text(description, left_pad=False)
+        else:
+            desc_ids = description
+        if isinstance(prompt, (list, tuple)):
+            prompt_ids, prompt_mask = self._encode_text(prompt, left_pad=True)
+        else:
+            prompt_ids = prompt
+        out = self.generate_codes(desc_ids, desc_mask, prompt_ids, prompt_mask, seed)
+        return self.decode_codes(out.codes, out.lengths)
+
+    # --------------------------------------------------------------- streaming
+    def stream(
+        self,
+        desc_ids: np.ndarray,
+        desc_mask: Optional[np.ndarray],
+        prompt_ids: np.ndarray,
+        prompt_mask: Optional[np.ndarray],
+        play_steps: int = 86,
+        seed: int = 0,
+    ):
+        """Yield waveform chunks as generation progresses.
+
+        Chunking semantics follow `ParlerTTSStreamer`
+        (`/root/reference/parler_tts/streamer.py:66-131`): every `play_steps`
+        new tokens, un-delay + codec-decode everything so far and emit the new
+        samples, holding back `stride` samples for smooth chunk joins.
+        """
+        from ..ops.delay_pattern import undelay_pattern, valid_frame_lengths
+
+        if self._stream_fns is None:
+            self._stream_fns = make_stream_functions(self.model, self.generation_config)
+        prefill_fn, step_fn = self._stream_fns
+        dcfg = self.config.decoder
+        hop = self.config.audio_encoder.hop_length
+        stride = hop * max(play_steps - dcfg.num_codebooks, 1) // 6  # streamer.py:53-57
+
+        state = prefill_fn(
+            self.params,
+            jnp.asarray(desc_ids),
+            jnp.asarray(desc_mask) if desc_mask is not None else None,
+            jnp.asarray(prompt_ids),
+            jnp.asarray(prompt_mask) if prompt_mask is not None else None,
+            jax.random.key(seed),
+        )
+        max_len = self.generation_config.max_length
+        to_yield = 0
+        while True:
+            state = step_fn(self.params, state, play_steps)
+            t = int(state.t)
+            done = t >= max_len or bool(jnp.all(state.eos.eos_seen))
+            if t <= dcfg.num_codebooks:
+                if done:
+                    return
+                continue
+            codes = undelay_pattern(state.out_ids[:, :, :t], dcfg.num_codebooks)
+            lengths = valid_frame_lengths(codes, dcfg.pad_token_id)
+            n = int(lengths[0])
+            if n == 0:
+                if done:
+                    return
+                continue
+            # decode at a play_steps-bucketed length so chunk flushes reuse a
+            # small set of compiled decode programs
+            m = min(_round_up(n, play_steps), codes.shape[-1])
+            audio = np.asarray(
+                self._decode_fn_for(m)(
+                    self.dac_params,
+                    jnp.clip(codes[:, :, :m], 0, self.config.audio_encoder.codebook_size - 1),
+                )
+            )[:, : n * hop, 0]
+            total = audio.shape[1]
+            if done:
+                if total > to_yield:
+                    yield audio[:, to_yield:]
+                return
+            upper = max(total - stride, to_yield)
+            if upper > to_yield:
+                yield audio[:, to_yield:upper]
+                to_yield = upper

@@ -1,0 +1,191 @@
+"""Data assembly and collation for training.
+
+Re-implements the reference collators and multi-dataset assembly
+(`/root/reference/training/data.py:14-311`) with one TPU-critical change:
+**static shape bucketing**. The reference pads each batch to its longest
+element (fine on GPU, a recompile storm on TPU); here every padded length is
+rounded up to a bucket boundary so the train step compiles a handful of times.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Dict, List, Optional, Sequence
+
+import numpy as np
+
+from .train_state import Batch
+
+
+def round_to_bucket(n: int, bucket: int, max_len: Optional[int] = None) -> int:
+    out = max(bucket, ((n + bucket - 1) // bucket) * bucket)
+    return min(out, max_len) if max_len is not None else out
+
+
+@dataclass
+class DataCollatorEncodecWithPadding:
+    """Raw audio -> padded float arrays + lengths for offline codec encoding
+    (reference data.py:14-42). Audio padded to a hop-multiple bucket."""
+
+    sampling_rate: int
+    hop_length: int = 512
+    audio_column_name: str = "audio"
+    max_length_seconds: float = 35.0
+    bucket_seconds: float = 5.0
+
+    def __call__(self, features: Sequence[Dict[str, Any]]):
+        audios = [np.asarray(f[self.audio_column_name]["array"], np.float32) for f in features]
+        len_audio = np.asarray([len(a) for a in audios], np.int32)
+        max_samples = int(self.max_length_seconds * self.sampling_rate)
+        bucket = int(self.bucket_seconds * self.sampling_rate)
+        target = round_to_bucket(int(len_audio.max()), bucket, max_samples)
+        target = ((target + self.hop_length - 1) // self.hop_length) * self.hop_length
+        batch = np.zeros((len(audios), target), np.float32)
+        for i, a in enumerate(audios):
+            a = a[:target]
+            batch[i, : len(a)] = a
+        return {"input_values": batch[:, None, :], "len_audio": np.minimum(len_audio, target)}
+
+
+@dataclass
+class DataCollatorParlerTTSWithPadding:
+    """Tokenized features -> a `Batch` (reference data.py:45-114).
+
+    - labels (B, T, K) padded with -100 (optionally to a fixed audio_max_length)
+    - description ids padded RIGHT, prompt ids padded LEFT
+      (reference `prompt_padding_side`, arguments.py:91-96)
+    - all lengths bucketed for shape stability.
+    """
+
+    prompt_padding_side: str = "left"
+    pad_token_id: int = 0
+    prompt_pad_token_id: int = 0
+    audio_max_length: Optional[int] = None
+    token_bucket: int = 16
+    label_bucket: int = 128
+
+    def _pad_tokens(self, seqs: List[np.ndarray], side: str, pad_id: int):
+        target = round_to_bucket(max(len(s) for s in seqs), self.token_bucket)
+        ids = np.full((len(seqs), target), pad_id, np.int32)
+        mask = np.zeros((len(seqs), target), np.int32)
+        for i, s in enumerate(seqs):
+            if side == "left":
+                ids[i, target - len(s):] = s
+                mask[i, target - len(s):] = 1
+            else:
+                ids[i, : len(s)] = s
+                mask[i, : len(s)] = 1
+        return ids, mask
+
+    def __call__(self, features: Sequence[Dict[str, Any]]) -> Batch:
+        labels = [np.asarray(f["labels"], np.int64) for f in features]  # (T, K)
+        t_max = max(l.shape[0] for l in labels)
+        t_pad = self.audio_max_length or round_to_bucket(t_max, self.label_bucket)
+        k = labels[0].shape[1]
+        lab = np.full((len(labels), t_pad, k), -100, np.int64)
+        for i, l in enumerate(labels):
+            l = l[:t_pad]
+            lab[i, : l.shape[0]] = l
+
+        desc = [np.asarray(f["input_ids"], np.int64) for f in features]
+        desc_ids, desc_mask = self._pad_tokens(desc, "right", self.pad_token_id)
+        prompt = [np.asarray(f["prompt_input_ids"], np.int64) for f in features]
+        p_ids, p_mask = self._pad_tokens(
+            prompt, self.prompt_padding_side, self.prompt_pad_token_id
+        )
+        return Batch(
+            input_ids=desc_ids,
+            attention_mask=desc_mask,
+            prompt_input_ids=p_ids,
+            prompt_attention_mask=p_mask,
+            labels=lab.astype(np.int32),
+        )
+
+
+def convert_dataset_str_to_list(
+    dataset_names: str,
+    dataset_config_names: str,
+    metadata_dataset_names: Optional[str] = None,
+    splits: Optional[str] = None,
+    dataset_samples: Optional[str] = None,
+    default_split: str = "train",
+) -> List[Dict[str, Any]]:
+    """Parse "+"-separated name/config/split/samples/metadata 5-tuples
+    (reference data.py:117-172)."""
+    names = dataset_names.split("+")
+    configs = dataset_config_names.split("+")
+    splits_l = splits.split("+") if splits else [default_split] * len(names)
+    meta = metadata_dataset_names.split("+") if metadata_dataset_names else [None] * len(names)
+    samples = dataset_samples.split("+") if dataset_samples else [None] * len(names)
+
+    if len(configs) != len(names):
+        raise ValueError(
+            f"Ensure one config per dataset: got {len(names)} datasets, {len(configs)} configs."
+        )
+    if len(splits_l) != len(names):
+        raise ValueError("Ensure one split per dataset.")
+    if len(meta) != len(names):
+        raise ValueError("Ensure one metadata dataset per dataset.")
+
+    if dataset_samples is not None:
+        samples = [float(s) for s in samples]
+        total = sum(samples)
+        probs = [s / total for s in samples]
+    else:
+        probs = None
+
+    out = []
+    for i, name in enumerate(names):
+        out.append(
+            {
+                "name": name,
+                "config": configs[i] or None,
+                "split": splits_l[i],
+                "metadata_dataset_name": meta[i],
+                "samples": samples[i] if probs else None,
+                "prob": probs[i] if probs else None,
+            }
+        )
+    return out
+
+
+def load_multiple_datasets(
+    dataset_specs: List[Dict[str, Any]],
+    sampling_rate: int,
+    columns_to_keep: Optional[set] = None,
+    id_column_name: Optional[str] = None,
+    num_proc: Optional[int] = None,
+):
+    """Load, resample, metadata-join, and concatenate datasets
+    (reference data.py:175-311). Requires the `datasets` package and
+    (network or cached) data — host-side only."""
+    from datasets import Audio, concatenate_datasets, load_dataset
+
+    parts = []
+    for spec in dataset_specs:
+        ds = load_dataset(spec["name"], spec["config"], split=spec["split"], num_proc=num_proc)
+        audio_cols = [c for c, f in ds.features.items() if getattr(f, "sampling_rate", None)]
+        for c in audio_cols:
+            ds = ds.cast_column(c, Audio(sampling_rate=sampling_rate))
+        if spec.get("metadata_dataset_name"):
+            meta = load_dataset(
+                spec["metadata_dataset_name"], spec["config"], split=spec["split"],
+                num_proc=num_proc,
+            )
+            # id-consistency verification (reference data.py:221-288)
+            if id_column_name is not None:
+                ids_a = ds[id_column_name]
+                ids_b = meta[id_column_name]
+                if ids_a[:64] != ids_b[:64]:
+                    raise ValueError(
+                        f"id mismatch joining {spec['name']} with "
+                        f"{spec['metadata_dataset_name']}"
+                    )
+                meta = meta.rename_column(id_column_name, f"metadata_{id_column_name}")
+            dup = [c for c in meta.column_names if c in ds.column_names]
+            meta = meta.remove_columns(dup)
+            ds = concatenate_datasets([ds, meta], axis=1)
+        if columns_to_keep is not None:
+            ds = ds.remove_columns(set(ds.column_names) - columns_to_keep)
+        parts.append(ds)
+    return concatenate_datasets(parts)

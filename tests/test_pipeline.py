@@ -1,0 +1,112 @@
+"""End-to-end pipeline: ids -> codes -> waveform, and streaming equivalence."""
+
+import numpy as np
+import pytest
+
+from parler_tts_tpu.config import (
+    DACConfig,
+    DecoderConfig,
+    GenerationConfig,
+    ParlerTTSConfig,
+    T5Config,
+)
+from parler_tts_tpu.runtime.pipeline import ParlerTTSPipeline
+
+PAD, BOS = 88, 89
+
+CFG = ParlerTTSConfig(
+    text_encoder=T5Config(
+        vocab_size=120, d_model=48, d_kv=12, d_ff=96, num_layers=2, num_heads=4,
+        relative_attention_num_buckets=8, relative_attention_max_distance=20,
+        dropout_rate=0.0,
+    ),
+    audio_encoder=DACConfig(
+        num_codebooks=4, codebook_size=PAD, codebook_dim=4, latent_dim=64,
+        encoder_dim=4, encoder_rates=(2, 4, 4), decoder_dim=96, decoder_rates=(4, 4, 2),
+        sampling_rate=16000, frame_rate=500,
+    ),
+    decoder=DecoderConfig(
+        vocab_size=100, hidden_size=64, num_hidden_layers=2, num_attention_heads=4,
+        ffn_dim=128, num_codebooks=4, max_position_embeddings=128,
+        pad_token_id=PAD, bos_token_id=BOS, eos_token_id=PAD, dropout=0.0,
+    ),
+    vocab_size=256,
+    pad_token_id=PAD,
+    decoder_start_token_id=BOS,
+)
+
+GEN = GenerationConfig(
+    max_length=24, min_new_tokens=8, do_sample=False,
+    bos_token_id=BOS, pad_token_id=PAD, eos_token_id=PAD,
+)
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    return ParlerTTSPipeline.from_random(CFG, seed=0, generation_config=GEN, frame_bucket=8)
+
+
+def _ids(seed=0, b=2):
+    rng = np.random.default_rng(seed)
+    desc = rng.integers(0, 120, size=(b, 9)).astype(np.int32)
+    desc_mask = np.ones((b, 9), np.int32)
+    prompt = rng.integers(0, 256, size=(b, 5)).astype(np.int32)
+    prompt_mask = np.ones((b, 5), np.int32)
+    return desc, desc_mask, prompt, prompt_mask
+
+
+def test_generate_waveform(pipe):
+    desc, dm, prompt, pm = _ids()
+    audio, lengths = pipe.generate(desc, prompt, desc_mask=dm, prompt_mask=pm, seed=0)
+    hop = CFG.audio_encoder.hop_length
+    assert audio.ndim == 2 and audio.shape[0] == 2
+    assert audio.shape[1] % hop == 0
+    assert (lengths % hop == 0).all()
+    assert (lengths <= audio.shape[1]).all()
+    assert np.isfinite(audio).all()
+    assert np.abs(audio).max() <= 1.0  # tanh output
+
+
+def test_stream_tokens_match_offline(pipe):
+    """The streaming step path must generate the SAME token sequence as the
+    fused while_loop path (greedy => deterministic). Audio equality is
+    approximate by design (chunked codec decode, reference streamer.py:53-57),
+    so tokens are the invariant."""
+    import jax
+    import jax.numpy as jnp
+
+    from parler_tts_tpu.runtime.generate import make_stream_functions
+
+    desc, dm, prompt, pm = _ids(seed=3, b=1)
+    off = pipe.generate_codes(desc, dm, prompt, pm, seed=11)
+
+    prefill_fn, step_fn = make_stream_functions(pipe.model, pipe.generation_config)
+    state = prefill_fn(
+        pipe.params, jnp.asarray(desc), jnp.asarray(dm),
+        jnp.asarray(prompt), jnp.asarray(pm), jax.random.key(11),
+    )
+    while int(state.t) < GEN.max_length and not bool(jnp.all(state.eos.eos_seen)):
+        state = step_fn(pipe.params, state, 6)
+
+    np.testing.assert_array_equal(
+        np.asarray(state.out_ids), np.asarray(off.delayed_ids)
+    )
+
+
+def test_stream_chunks_smoke(pipe):
+    desc, dm, prompt, pm = _ids(seed=3, b=1)
+    chunks = list(pipe.stream(desc, dm, prompt, pm, play_steps=6, seed=11))
+    assert len(chunks) >= 1
+    streamed = np.concatenate(chunks, axis=1)
+    assert streamed.shape[0] == 1 and streamed.shape[1] > 0
+    assert np.isfinite(streamed).all()
+    assert np.abs(streamed).max() <= 1.0
+
+
+def test_decode_codes_bucketing(pipe):
+    desc, dm, prompt, pm = _ids(seed=4)
+    out = pipe.generate_codes(desc, dm, prompt, pm, seed=2)
+    audio, lengths = pipe.decode_codes(out.codes, out.lengths)
+    # bucket rounds decode length up to frame_bucket frames
+    assert audio.shape[1] % (pipe.frame_bucket * CFG.audio_encoder.hop_length) == 0 or \
+        audio.shape[1] == out.codes.shape[-1] * CFG.audio_encoder.hop_length

@@ -1,0 +1,157 @@
+"""Sharded train step on a virtual 8-device CPU mesh (SURVEY.md §4 strategy)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from parler_tts_tpu.config import (
+    DACConfig,
+    DecoderConfig,
+    ParlerTTSConfig,
+    T5Config,
+)
+from parler_tts_tpu.models.parler import ParlerTTS
+from parler_tts_tpu.parallel import make_mesh, shard_params
+from parler_tts_tpu.training import (
+    Batch,
+    TrainState,
+    make_optimizer,
+    make_train_step,
+    shard_train_state,
+)
+
+PAD, BOS = 88, 89
+
+
+def tiny_config(**kw):
+    return ParlerTTSConfig(
+        text_encoder=T5Config(
+            vocab_size=120, d_model=48, d_kv=12, d_ff=96, num_layers=2, num_heads=4,
+            relative_attention_num_buckets=8, relative_attention_max_distance=20,
+            dropout_rate=0.0,
+        ),
+        audio_encoder=DACConfig(num_codebooks=4, codebook_size=PAD),
+        decoder=DecoderConfig(
+            vocab_size=100, hidden_size=64, num_hidden_layers=2, num_attention_heads=4,
+            ffn_dim=128, num_codebooks=4, max_position_embeddings=128,
+            pad_token_id=PAD, bos_token_id=BOS, eos_token_id=PAD, dropout=0.1,
+        ),
+        vocab_size=256,
+        pad_token_id=PAD,
+        decoder_start_token_id=BOS,
+        **kw,
+    )
+
+
+def make_batch(b=8, s_desc=9, s_p=5, t=12, k=4, seed=0):
+    rng = np.random.default_rng(seed)
+    labels = rng.integers(0, PAD, size=(b, t, k)).astype(np.int32)
+    labels[:, -2:, :] = -100  # padded label tail
+    return Batch(
+        input_ids=jnp.asarray(rng.integers(0, 120, size=(b, s_desc)), jnp.int32),
+        attention_mask=jnp.ones((b, s_desc), jnp.int32),
+        prompt_input_ids=jnp.asarray(rng.integers(0, 256, size=(b, s_p)), jnp.int32),
+        prompt_attention_mask=jnp.ones((b, s_p), jnp.int32),
+        labels=jnp.asarray(labels),
+    )
+
+
+def init_state(model, tx, seed=0):
+    params = model.init(
+        jax.random.key(seed),
+        jnp.zeros((1, 4), jnp.int32), jnp.ones((1, 4), jnp.int32),
+        jnp.zeros((1, 3), jnp.int32), jnp.ones((1, 3), jnp.int32),
+        jnp.zeros((1, 2, model.config.decoder.num_codebooks), jnp.int32),
+    )["params"]
+    return TrainState.create(params, tx)
+
+
+def test_train_step_runs_and_loss_decreases():
+    model = ParlerTTS(tiny_config())
+    tx = make_optimizer(learning_rate=1e-3, warmup_steps=2, freeze_text_encoder=True)
+    state = init_state(model, tx)
+    step = make_train_step(model, tx)
+    batch = make_batch()
+    rng = jax.random.key(0)
+
+    losses = []
+    for i in range(8):
+        rng, r = jax.random.split(rng)
+        state, metrics = step(state, batch, r)
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0], losses
+    assert np.isfinite(losses).all()
+    assert metrics["per_codebook_loss"].shape == (4,)
+    assert int(state.step) == 8
+
+
+def test_frozen_text_encoder_unchanged():
+    model = ParlerTTS(tiny_config())
+    tx = make_optimizer(learning_rate=1e-2, warmup_steps=1, freeze_text_encoder=True)
+    state = init_state(model, tx)
+    before = jax.tree.map(np.asarray, state.params["text_encoder"])
+    dec_before = np.asarray(
+        state.params["decoder"]["decoder"]["layers_0"]["fc1"]["kernel"]
+    )
+    step = make_train_step(model, tx)
+    # two steps: the first runs at lr=0 (warmup ramp starts at zero)
+    state, _ = step(state, make_batch(), jax.random.key(1))
+    state, _ = step(state, make_batch(seed=9), jax.random.key(2))
+    after = state.params["text_encoder"]
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        before, after,
+    )
+    assert not np.array_equal(
+        dec_before,
+        np.asarray(state.params["decoder"]["decoder"]["layers_0"]["fc1"]["kernel"]),
+    )
+
+
+@pytest.mark.parametrize("n_model", [1, 2])
+def test_sharded_train_step_matches_single_device(n_model):
+    """DP(+TP) over the 8-CPU mesh must produce the same loss trajectory as the
+    unsharded step — the psum'd global normalization is the invariant."""
+    assert len(jax.devices()) == 8
+    model = ParlerTTS(tiny_config())
+    tx = make_optimizer(learning_rate=1e-3, warmup_steps=2, freeze_text_encoder=False)
+
+    # single device
+    state1 = init_state(model, tx, seed=3)
+    step1 = make_train_step(model, tx)
+
+    # sharded
+    mesh = make_mesh(n_model=n_model)
+    state2 = shard_train_state(init_state(model, tx, seed=3), mesh)
+    step2 = make_train_step(model, tx, mesh=mesh)
+
+    batch = make_batch(b=8, seed=4)
+    rng = jax.random.key(5)
+    for i in range(3):
+        rng, r = jax.random.split(rng)
+        state1, m1 = step1(state1, batch, r)
+        state2, m2 = step2(state2, batch, r)
+        np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=2e-4)
+        np.testing.assert_allclose(
+            float(m1["grad_norm"]), float(m2["grad_norm"]), rtol=2e-3
+        )
+    assert int(m2["num_items"]) == int(m1["num_items"])
+
+    # params stay in sync
+    p1 = jax.tree.leaves(state1.params)
+    p2 = jax.tree.leaves(state2.params)
+    for a, b in zip(p1, p2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)
+
+
+def test_param_sharding_actually_shards():
+    mesh = make_mesh(n_model=2)
+    model = ParlerTTS(tiny_config())
+    tx = make_optimizer()
+    state = init_state(model, tx)
+    sharded = shard_params(state.params, mesh)
+    fc1 = sharded["decoder"]["decoder"]["layers_0"]["fc1"]["kernel"]
+    # fc1 (64, 128) sharded over model axis on dim 1 -> shard shape (64, 64)
+    shard_shapes = {s.data.shape for s in fc1.addressable_shards}
+    assert shard_shapes == {(64, 64)}
