@@ -12,11 +12,16 @@ checkpoint-, dependent.
 """
 
 import json
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+def _progress(msg: str) -> None:
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
 
 def build_pipeline(max_length: int, seconds_target: float):
@@ -53,6 +58,11 @@ def build_pipeline(max_length: int, seconds_target: float):
             method="decode",
         )
     )(k2)["params"]
+    # serving dtype: bf16 weights halve the HBM traffic of the (weight-bound)
+    # decode loop; softmax/logits stay fp32 inside the model
+    from parler_tts_tpu.utils.dtypes import cast_floating
+
+    params = cast_floating(params, jnp.bfloat16)
     return ParlerTTSPipeline(model, params, dac, dac_params, gen)
 
 
@@ -77,19 +87,22 @@ def main():
     def decode_full(codes):
         # Random weights emit out-of-codebook ids; clamp so the codec decode
         # cost is measured on the full frame grid (a trained checkpoint fills
-        # it with real codes).
+        # it with real codes). Host-transfer of one sample forces full sync
+        # (block_until_ready is unreliable through the axon tunnel).
         audio = pipe._decode_jit(
             pipe.dac_params, jnp.clip(codes, 0, cb_size - 1)
         )
-        jax.block_until_ready(audio)
+        np.asarray(audio[0, -1, 0])
         return audio
 
     # ---- warmup / compile
+    _progress("compiling token loop + codec decode")
     t0 = time.perf_counter()
     out = pipe.generate_codes(desc, desc_mask, prompt, prompt_mask, seed=0)
-    jax.block_until_ready(out.codes)
+    np.asarray(out.codes)
     decode_full(out.codes)
     compile_s = time.perf_counter() - t0
+    _progress(f"compile done in {compile_s:.1f}s")
 
     # ---- timed RTFx runs (token loop + codec decode, end to end)
     runs = 3
@@ -97,14 +110,15 @@ def main():
     for i in range(runs):
         t0 = time.perf_counter()
         out = pipe.generate_codes(desc, desc_mask, prompt, prompt_mask, seed=i + 1)
-        jax.block_until_ready(out.codes)
         decode_full(out.codes)
         times.append(time.perf_counter() - t0)
         gen_steps.append(int(out.steps))
+        _progress(f"run {i}: {times[-1]:.3f}s")
 
     rtfx = audio_seconds / float(np.median(times))
 
     # ---- TTFA via streaming (prefill + first chunk + decode), warmed
+    _progress("measuring TTFA (stream path compiles on first pass)")
     play_steps = 86  # ~1 s of audio per flush
     ttfas = []
     for i in range(4):
@@ -113,6 +127,7 @@ def main():
                                   play_steps=play_steps, seed=100 + i):
             ttfas.append(time.perf_counter() - t0)
             break
+        _progress(f"ttfa {i}: {ttfas[-1]:.3f}s" if ttfas else f"ttfa {i}: none")
     ttfas = ttfas[1:]  # drop the compile run
     ttfa_p50 = float(np.median(ttfas)) if ttfas else -1.0
 

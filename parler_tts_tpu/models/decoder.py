@@ -142,29 +142,37 @@ class Attention(nn.Module):
         bias: Optional[jnp.ndarray],
         cos: Optional[jnp.ndarray],
         sin: Optional[jnp.ndarray],
-        cache_k: Optional[jnp.ndarray] = None,
-        cache_v: Optional[jnp.ndarray] = None,
+        cache_kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+        layer_idx: int = 0,
         cache_index: Optional[jnp.ndarray] = None,
     ):
-        """Returns (out, new_cache_k, new_cache_v)."""
+        """Returns (out, updated stacked cache (or None)).
+
+        The cache is the FULL stacked (L, B, S, H_kv, Dh) pair; each layer
+        writes its new k/v with ONE dynamic_update_slice so XLA aliases the
+        buffer in place through the decode while_loop — no per-step restack
+        copy of the whole cache.
+        """
         q = self._query(x, cos, sin)
         k = self._split_kv(self.k_proj(x))
         v = self._split_kv(self.v_proj(x))
         if self.config.rope_embeddings and cos is not None:
             k = apply_rope(k, cos, sin)
 
-        if cache_k is not None:
-            cache_k = jax.lax.dynamic_update_slice(
-                cache_k, k.astype(cache_k.dtype), (0, cache_index, 0, 0)
+        if cache_kv is not None:
+            ck, cv = cache_kv
+            ck = jax.lax.dynamic_update_slice(
+                ck, k[None].astype(ck.dtype), (layer_idx, 0, cache_index, 0, 0)
             )
-            cache_v = jax.lax.dynamic_update_slice(
-                cache_v, v.astype(cache_v.dtype), (0, cache_index, 0, 0)
+            cv = jax.lax.dynamic_update_slice(
+                cv, v[None].astype(cv.dtype), (layer_idx, 0, cache_index, 0, 0)
             )
-            k, v = cache_k, cache_v
+            cache_kv = (ck, cv)
+            k, v = ck[layer_idx], cv[layer_idx]
 
         out = _gqa_attention(q, k.astype(q.dtype), v.astype(q.dtype), bias)
         b, t, _, _ = out.shape
-        return self.out_proj(out.reshape(b, t, -1)), cache_k, cache_v
+        return self.out_proj(out.reshape(b, t, -1)), cache_kv
 
     def cross_attention(
         self,
@@ -219,15 +227,15 @@ class DecoderLayer(nn.Module):
         cross_attn_bias: Optional[jnp.ndarray],
         cos: Optional[jnp.ndarray],
         sin: Optional[jnp.ndarray],
-        cache_k: Optional[jnp.ndarray] = None,
-        cache_v: Optional[jnp.ndarray] = None,
+        cache_kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+        layer_idx: int = 0,
         cache_index: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
     ):
         residual = x
         h = self.self_attn_layer_norm(x)
-        h, new_k, new_v = self.self_attn.self_attention(
-            h, self_attn_bias, cos, sin, cache_k, cache_v, cache_index
+        h, cache_kv = self.self_attn.self_attention(
+            h, self_attn_bias, cos, sin, cache_kv, layer_idx, cache_index
         )
         x = residual + self.dropout(h, deterministic=deterministic)
 
@@ -243,7 +251,7 @@ class DecoderLayer(nn.Module):
         h = self.activation_dropout(h, deterministic=deterministic)
         h = self.fc2(h)
         x = residual + self.dropout(h, deterministic=deterministic)
-        return x, new_k, new_v
+        return x, cache_kv
 
 
 class ParlerDecoder(nn.Module):
@@ -315,17 +323,17 @@ class ParlerDecoder(nn.Module):
 
         x = self.dropout(x, deterministic=deterministic)
 
-        new_self_k, new_self_v = [], []
+        cache_kv = (cache.self_k, cache.self_v) if cache is not None else None
         for i, layer in enumerate(self.layers):
             if cache is not None:
                 cross_k_i, cross_v_i = cache.cross_k[i], cache.cross_v[i]
-                cache_k_i, cache_v_i, idx = cache.self_k[i], cache.self_v[i], cache.index
+                idx = cache.index
             elif encoder_hidden_states is not None:
                 cross_k_i, cross_v_i = layer.cross_kv(encoder_hidden_states.astype(self.dtype))
-                cache_k_i = cache_v_i = idx = None
+                idx = None
             else:
-                cross_k_i = cross_v_i = cache_k_i = cache_v_i = idx = None
-            x, k_i, v_i = layer(
+                cross_k_i = cross_v_i = idx = None
+            x, cache_kv = layer(
                 x,
                 self_attn_bias=self_attn_bias,
                 cross_k=cross_k_i,
@@ -333,22 +341,19 @@ class ParlerDecoder(nn.Module):
                 cross_attn_bias=cross_attn_bias,
                 cos=cos,
                 sin=sin,
-                cache_k=cache_k_i,
-                cache_v=cache_v_i,
+                cache_kv=cache_kv,
+                layer_idx=i,
                 cache_index=idx,
                 deterministic=deterministic,
             )
-            if cache is not None:
-                new_self_k.append(k_i)
-                new_self_v.append(v_i)
 
         x = self.layer_norm(x)
 
         new_cache = None
         if cache is not None:
             new_cache = DecoderCache(
-                self_k=jnp.stack(new_self_k),
-                self_v=jnp.stack(new_self_v),
+                self_k=cache_kv[0],
+                self_v=cache_kv[1],
                 cross_k=cache.cross_k,
                 cross_v=cache.cross_v,
                 index=cache.index + inputs_embeds.shape[1],

@@ -104,7 +104,7 @@ def generate_tokens(
     prompt_ids: jnp.ndarray,
     prompt_mask: Optional[jnp.ndarray],
     rng: jax.Array,
-    cache_dtype=jnp.float32,
+    cache_dtype=jnp.bfloat16,
 ) -> GenerateOutput:
     """Full token generation (trace-once; wrap in jax.jit via `make_generate`)."""
     cfg: ParlerTTSConfig = model.config
@@ -214,7 +214,7 @@ def generate_tokens(
     return GenerateOutput(delayed, codes, lengths, final.t)
 
 
-def make_generate(model: ParlerTTS, gen: GenerationConfig, cache_dtype=jnp.float32):
+def make_generate(model: ParlerTTS, gen: GenerationConfig, cache_dtype=jnp.bfloat16):
     """jit-wrapped `generate_tokens` (one compile per input-shape signature)."""
 
     @functools.partial(jax.jit, static_argnames=())
@@ -243,7 +243,7 @@ class StreamState:
     s_p: jnp.ndarray
 
 
-def make_stream_functions(model: ParlerTTS, gen: GenerationConfig, cache_dtype=jnp.float32):
+def make_stream_functions(model: ParlerTTS, gen: GenerationConfig, cache_dtype=jnp.bfloat16):
     """(prefill_fn, step_chunk_fn) for streaming generation.
 
     `prefill_fn(params, desc..., prompt..., rng) -> StreamState`

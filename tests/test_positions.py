@@ -61,7 +61,7 @@ def test_apply_rope_matches_reference_rotate_half():
 
     rng = np.random.default_rng(0)
     # torch layout: (B, H, T, Dh); ours: (B, T, H, Dh)
-    x = rng.normal(size=(2, 3, 5, 64)).astype(np.float32)  # B,T,H,Dh
+    x = rng.normal(size=(2, 5, 3, 64)).astype(np.float32)  # B,T=5,H=3,Dh
     pos = np.array([[0, 1, 2, 3, 4], [2, 2, 3, 7, 8]])
 
     cos, sin = rope_cos_sin(jnp.asarray(pos), 64, 10000.0)
