@@ -1,0 +1,166 @@
+"""Training pipeline pieces: collators, label building, checkpoints, and an
+end-to-end smoke train run (the reference's dummy-config strategy, SURVEY §4)."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from parler_tts_tpu.models.parler import ParlerTTS
+from parler_tts_tpu.training.arguments import (
+    DataTrainingArguments,
+    ModelArguments,
+    TrainingArguments,
+    parse_args,
+)
+from parler_tts_tpu.training.checkpoints import (
+    get_last_checkpoint,
+    parse_checkpoint_name,
+    rotate_checkpoints,
+    sorted_checkpoints,
+)
+from parler_tts_tpu.training.data import (
+    DataCollatorEncodecWithPadding,
+    DataCollatorParlerTTSWithPadding,
+    convert_dataset_str_to_list,
+)
+from parler_tts_tpu.training.run_training import build_labels_from_codes, run_training
+
+from test_training_step import tiny_config
+
+PAD, BOS = 88, 89
+
+
+def test_parler_collator_buckets_and_pads():
+    coll = DataCollatorParlerTTSWithPadding(
+        prompt_padding_side="left", pad_token_id=0, prompt_pad_token_id=0,
+        token_bucket=8, label_bucket=16,
+    )
+    feats = [
+        {"labels": np.ones((10, 4)), "input_ids": [1, 2, 3], "prompt_input_ids": [4, 5]},
+        {"labels": np.ones((13, 4)), "input_ids": [1] * 7, "prompt_input_ids": [6]},
+    ]
+    batch = coll(feats)
+    assert batch.labels.shape == (2, 16, 4)
+    assert (batch.labels[0, 10:] == -100).all()
+    assert batch.input_ids.shape == (2, 8)
+    assert batch.prompt_input_ids.shape == (2, 8)
+    # prompts left-padded
+    assert batch.prompt_attention_mask[0, :6].sum() == 0
+    assert batch.prompt_attention_mask[0, 6:].sum() == 2
+    # descriptions right-padded
+    assert batch.attention_mask[0, :3].sum() == 3
+
+
+def test_encodec_collator_hop_alignment():
+    coll = DataCollatorEncodecWithPadding(
+        sampling_rate=16000, hop_length=320, max_length_seconds=2.0, bucket_seconds=0.5
+    )
+    feats = [
+        {"audio": {"array": np.ones(5000, np.float32)}},
+        {"audio": {"array": np.ones(7000, np.float32)}},
+    ]
+    out = coll(feats)
+    assert out["input_values"].shape[0] == 2
+    t = out["input_values"].shape[-1]
+    assert t % 320 == 0 and t >= 7000
+    np.testing.assert_array_equal(out["len_audio"], [5000, 7000])
+
+
+def test_dataset_spec_parsing():
+    specs = convert_dataset_str_to_list(
+        "a+b", "c1+c2", metadata_dataset_names="m1+m2",
+        splits="train+test", dataset_samples="3+1",
+    )
+    assert len(specs) == 2
+    assert specs[0]["name"] == "a" and specs[0]["split"] == "train"
+    assert specs[0]["prob"] == 0.75 and specs[1]["prob"] == 0.25
+    with pytest.raises(ValueError):
+        convert_dataset_str_to_list("a+b", "c1")
+
+
+def test_build_labels_from_codes():
+    codes = np.arange(12).reshape(3, 4).astype(np.int32)  # (K=3, T=4)
+    labels = build_labels_from_codes(codes, BOS, PAD, max_length=64)
+    assert labels.shape == (4 + 1 + 3, 3)
+    # BOS lower triangle, shifted codes, EOS tail
+    assert (labels[0] == BOS).all()
+    assert labels[1, 0] == codes[0, 0]
+    assert labels[2, 1] == codes[1, 0]
+    assert (labels[-1, :2] == PAD).all()
+
+
+def test_checkpoint_rotation(tmp_path):
+    for step, epoch in [(10, 0), (20, 0), (30, 1), (40, 1)]:
+        os.makedirs(tmp_path / f"checkpoint-{step}-epoch-{epoch}")
+    assert sorted_checkpoints(str(tmp_path))[0] == "checkpoint-10-epoch-0"
+    assert parse_checkpoint_name(get_last_checkpoint(str(tmp_path))) == (40, 1)
+    rotate_checkpoints(str(tmp_path), save_total_limit=2)
+    assert sorted_checkpoints(str(tmp_path)) == [
+        "checkpoint-30-epoch-1", "checkpoint-40-epoch-1",
+    ]
+
+
+def test_parse_args_json_and_cli(tmp_path):
+    import json
+
+    blob = {"learning_rate": 0.001, "train_dataset_name": "x", "freeze_text_encoder": False,
+            "output_dir": str(tmp_path)}
+    p = tmp_path / "cfg.json"
+    p.write_text(json.dumps(blob))
+    m, d, t = parse_args([str(p)])
+    assert t.learning_rate == 0.001 and d.train_dataset_name == "x"
+    assert m.freeze_text_encoder is False
+
+    m2, d2, t2 = parse_args(
+        ["--learning_rate", "0.01", "--num_train_epochs", "2", "--freeze_text_encoder", "true"]
+    )
+    assert t2.learning_rate == 0.01 and t2.num_train_epochs == 2.0
+    assert m2.freeze_text_encoder is True
+
+
+def test_end_to_end_smoke_training(tmp_path):
+    """Tiny full train run: features -> loop -> checkpoint on disk -> resumable.
+    The reference's dummy-config integration strategy (SURVEY §4)."""
+    cfg = tiny_config()
+    model = ParlerTTS(cfg)
+    rng = np.random.default_rng(0)
+    feats = [
+        {
+            "labels": rng.integers(0, PAD, size=(12, 4)),
+            "input_ids": list(rng.integers(0, 120, size=7)),
+            "prompt_input_ids": list(rng.integers(0, 256, size=4)),
+        }
+        for _ in range(16)
+    ]
+    params = model.init(
+        jax.random.key(0),
+        np.zeros((1, 4), np.int32), np.ones((1, 4), np.int32),
+        np.zeros((1, 3), np.int32), np.ones((1, 3), np.int32),
+        np.zeros((1, 2, 4), np.int32),
+    )["params"]
+
+    margs = ModelArguments(freeze_text_encoder=True, max_length=32)
+    dargs = DataTrainingArguments()
+    targs = TrainingArguments(
+        output_dir=str(tmp_path), per_device_train_batch_size=1,
+        gradient_accumulation_steps=1, learning_rate=1e-3, warmup_steps=2,
+        max_steps=4, logging_steps=2, save_steps=2, eval_steps=100,
+        report_to="none", mesh_model=1,
+    )
+    state, step = run_training(margs, dargs, targs, model, params, feats)
+    assert step == 4
+    last = get_last_checkpoint(str(tmp_path))
+    assert last is not None and parse_checkpoint_name(last)[0] == 4
+
+    # resume continues from the saved step
+    targs2 = TrainingArguments(
+        output_dir=str(tmp_path), per_device_train_batch_size=1,
+        gradient_accumulation_steps=1, learning_rate=1e-3, warmup_steps=2,
+        max_steps=6, logging_steps=2, save_steps=100, eval_steps=100,
+        report_to="none", mesh_model=1,
+    )
+    state2, step2 = run_training(margs, dargs, targs2, model, params, feats)
+    assert step2 == 6
+    assert int(state2.step) == 6
