@@ -103,6 +103,7 @@ class Attention(nn.Module):
     config: DecoderConfig
     num_kv_heads: int
     dtype: jnp.dtype = jnp.float32
+    use_flash_decode: bool = False  # opt-in Pallas kernel for T==1 decode
 
     def setup(self):
         cfg = self.config
@@ -145,6 +146,7 @@ class Attention(nn.Module):
         cache_kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
         layer_idx: int = 0,
         cache_index: Optional[jnp.ndarray] = None,
+        decode_lengths: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
     ):
         """Returns (out, updated stacked cache (or None)).
 
@@ -170,8 +172,21 @@ class Attention(nn.Module):
             cache_kv = (ck, cv)
             k, v = ck[layer_idx], cv[layer_idx]
 
-        out = _gqa_attention(q, k.astype(q.dtype), v.astype(q.dtype), bias)
-        b, t, _, _ = out.shape
+        b, t = x.shape[:2]
+        if (
+            self.use_flash_decode
+            and cache_kv is not None
+            and t == 1
+            and decode_lengths is not None
+        ):
+            from ..ops.pallas.flash_decode import flash_decode_attention
+
+            starts, limit = decode_lengths
+            out = flash_decode_attention(
+                q[:, 0], k.astype(q.dtype), v.astype(q.dtype), starts, limit
+            )[:, None]
+        else:
+            out = _gqa_attention(q, k.astype(q.dtype), v.astype(q.dtype), bias)
         return self.out_proj(out.reshape(b, t, -1)), cache_kv
 
     def cross_attention(
@@ -196,11 +211,15 @@ class DecoderLayer(nn.Module):
 
     config: DecoderConfig
     dtype: jnp.dtype = jnp.float32
+    use_flash_decode: bool = False
 
     def setup(self):
         cfg = self.config
         ln = lambda name: nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=name)  # noqa: E731
-        self.self_attn = Attention(cfg, cfg.num_key_value_heads, self.dtype, name="self_attn")
+        self.self_attn = Attention(
+            cfg, cfg.num_key_value_heads, self.dtype,
+            use_flash_decode=self.use_flash_decode, name="self_attn",
+        )
         self.self_attn_layer_norm = ln("self_attn_layer_norm")
         self.encoder_attn = Attention(
             cfg, cfg.num_cross_attention_key_value_heads, self.dtype, name="encoder_attn"
@@ -230,12 +249,14 @@ class DecoderLayer(nn.Module):
         cache_kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
         layer_idx: int = 0,
         cache_index: Optional[jnp.ndarray] = None,
+        decode_lengths: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
         deterministic: bool = True,
     ):
         residual = x
         h = self.self_attn_layer_norm(x)
         h, cache_kv = self.self_attn.self_attention(
-            h, self_attn_bias, cos, sin, cache_kv, layer_idx, cache_index
+            h, self_attn_bias, cos, sin, cache_kv, layer_idx, cache_index,
+            decode_lengths,
         )
         x = residual + self.dropout(h, deterministic=deterministic)
 
@@ -259,6 +280,7 @@ class ParlerDecoder(nn.Module):
 
     config: DecoderConfig
     dtype: jnp.dtype = jnp.float32
+    use_flash_decode: bool = False
 
     def setup(self):
         cfg = self.config
@@ -270,7 +292,7 @@ class ParlerDecoder(nn.Module):
             jnp.float32,
         )
         self.layers = [
-            DecoderLayer(cfg, self.dtype, name=f"layers_{i}")
+            DecoderLayer(cfg, self.dtype, self.use_flash_decode, name=f"layers_{i}")
             for i in range(cfg.num_hidden_layers)
         ]
         self.layer_norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="layer_norm")
@@ -309,6 +331,7 @@ class ParlerDecoder(nn.Module):
         encoder_hidden_states: Optional[jnp.ndarray] = None,  # (B, S_enc, D) training path
         cross_attn_bias: Optional[jnp.ndarray] = None,        # (B, 1, T, S_enc)
         cache: Optional[DecoderCache] = None,
+        decode_lengths: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
         deterministic: bool = True,
     ):
         cfg = self.config
@@ -344,6 +367,7 @@ class ParlerDecoder(nn.Module):
                 cache_kv=cache_kv,
                 layer_idx=i,
                 cache_index=idx,
+                decode_lengths=decode_lengths,
                 deterministic=deterministic,
             )
 
@@ -366,10 +390,11 @@ class ParlerForCausalLM(nn.Module):
 
     config: DecoderConfig
     dtype: jnp.dtype = jnp.float32
+    use_flash_decode: bool = False
 
     def setup(self):
         cfg = self.config
-        self.decoder = ParlerDecoder(cfg, self.dtype, name="decoder")
+        self.decoder = ParlerDecoder(cfg, self.dtype, self.use_flash_decode, name="decoder")
         # (K, D, V) — applied as one fused einsum (TPU-native `use_fused_lm_heads`).
         self.lm_heads = self.param(
             "lm_heads",
@@ -394,6 +419,7 @@ class ParlerForCausalLM(nn.Module):
         encoder_hidden_states: Optional[jnp.ndarray] = None,
         cross_attn_bias: Optional[jnp.ndarray] = None,
         cache: Optional[DecoderCache] = None,
+        decode_lengths: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
         deterministic: bool = True,
     ):
         hidden, new_cache = self.decoder(
@@ -403,6 +429,7 @@ class ParlerForCausalLM(nn.Module):
             encoder_hidden_states=encoder_hidden_states,
             cross_attn_bias=cross_attn_bias,
             cache=cache,
+            decode_lengths=decode_lengths,
             deterministic=deterministic,
         )
         return self.logits(hidden), new_cache

@@ -36,11 +36,14 @@ from .t5_encoder import T5Encoder, convert_t5_encoder_params
 class ParlerTTS(nn.Module):
     config: ParlerTTSConfig
     dtype: jnp.dtype = jnp.float32
+    use_flash_decode: bool = False
 
     def setup(self):
         cfg = self.config
         self.text_encoder = T5Encoder(cfg.text_encoder, self.dtype, name="text_encoder")
-        self.decoder_lm = ParlerForCausalLM(cfg.decoder, self.dtype, name="decoder")
+        self.decoder_lm = ParlerForCausalLM(
+            cfg.decoder, self.dtype, self.use_flash_decode, name="decoder"
+        )
         # prompt embedding: (prompt_vocab, decoder_hidden) — modeling:2395
         self.embed_prompts = nn.Embed(
             cfg.vocab_size, cfg.decoder.hidden_size, dtype=self.dtype, name="embed_prompts",

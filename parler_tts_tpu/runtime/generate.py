@@ -156,15 +156,20 @@ def generate_tokens(
         [prefix_mask.astype(bool), jnp.ones((b, max_len), bool)], axis=1
     )
 
+    # left-padded prompts: first valid cache slot per batch row (for the
+    # opt-in flash-decode kernel's mask-free masking)
+    flash_starts = (s_p - prefix_mask.sum(axis=1)).astype(jnp.int32)
+
     # Positions are ABSOLUTE cache-slot indices for both sinusoidal and RoPE:
     # the reference derives position_ids from cache_position before its RoPE
     # mask-cumsum branch, which is therefore dead code (modeling:1466-1468).
-    def decoder_forward(embeds, abs_positions, cache):
+    def decoder_forward(embeds, abs_positions, cache, decode_lengths=None):
         bias = causal_self_attention_bias(abs_positions, kv_valid)
         cross_bias = padding_cross_attention_bias(enc_mask, embeds.shape[1])
         return model.apply(
             variables, embeds, abs_positions,
             self_attn_bias=bias, cross_attn_bias=cross_bias, cache=cache,
+            decode_lengths=decode_lengths,
             method=lambda m, *a, **kw: m.decoder_lm(*a, **kw),
         )
 
@@ -195,7 +200,9 @@ def generate_tokens(
         col_in = jax.lax.dynamic_slice_in_dim(s.out_ids, s.t - 1, 1, axis=2)  # (B,K,1)
         emb = embed_ids(col_in)
         q_pos = jnp.full((b, 1), s_p, jnp.int32) + (s.t - 1)
-        logits, cache = decoder_forward(emb, q_pos, s.cache)
+        logits, cache = decoder_forward(
+            emb, q_pos, s.cache, decode_lengths=(flash_starts, s_p + s.t)
+        )
         rng, r = jax.random.split(s.rng)
         col, eos = _sample_column(
             logits[:, :, -1, :], s.t, s.eos, pattern, r, gen, k_cb

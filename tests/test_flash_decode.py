@@ -1,0 +1,88 @@
+"""Pallas flash-decode kernel vs the XLA oracle (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from parler_tts_tpu.ops.pallas.flash_decode import (
+    flash_decode_attention,
+    reference_decode_attention,
+)
+
+
+def make_case(seed=0, b=2, h=8, h_kv=8, dh=64, s=512):
+    rng = np.random.default_rng(seed)
+    q = rng.normal(size=(b, h, dh)).astype(np.float32) * 0.3
+    k = rng.normal(size=(b, s, h_kv, dh)).astype(np.float32) * 0.3
+    v = rng.normal(size=(b, s, h_kv, dh)).astype(np.float32) * 0.3
+    return jnp.asarray(q), jnp.asarray(k), jnp.asarray(v)
+
+
+@pytest.mark.parametrize("limit", [1, 5, 255, 256, 257, 512])
+def test_flash_decode_matches_oracle_prefix(limit):
+    q, k, v = make_case()
+    starts = jnp.zeros((2,), jnp.int32)
+    got = flash_decode_attention(q, k, v, starts, jnp.int32(limit), block_s=256, interpret=True)
+    want = reference_decode_attention(q, k, v, starts, jnp.int32(limit))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-4)
+
+
+def test_flash_decode_left_padded_starts():
+    q, k, v = make_case(seed=1)
+    starts = jnp.asarray([3, 100], jnp.int32)
+    got = flash_decode_attention(q, k, v, starts, jnp.int32(300), block_s=128, interpret=True)
+    want = reference_decode_attention(q, k, v, starts, jnp.int32(300))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-4)
+
+
+def test_flash_decode_gqa():
+    q, k, v = make_case(seed=2, h=8, h_kv=2)
+    starts = jnp.zeros((2,), jnp.int32)
+    got = flash_decode_attention(q, k, v, starts, jnp.int32(200), block_s=128, interpret=True)
+    want = reference_decode_attention(q, k, v, starts, jnp.int32(200))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-4)
+
+
+def test_flash_decode_bf16():
+    q, k, v = make_case(seed=3)
+    q, k, v = q.astype(jnp.bfloat16), k.astype(jnp.bfloat16), v.astype(jnp.bfloat16)
+    starts = jnp.zeros((2,), jnp.int32)
+    got = flash_decode_attention(q, k, v, starts, jnp.int32(400), block_s=256, interpret=True)
+    want = reference_decode_attention(q, k, v, starts, jnp.int32(400))
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32), atol=2e-2, rtol=2e-2
+    )
+
+
+def test_generation_with_flash_decode_matches_default():
+    """End-to-end: the opt-in flash-decode model generates the same greedy
+    tokens as the XLA attention path."""
+    import numpy as np
+    from parler_tts_tpu.config import GenerationConfig
+    from parler_tts_tpu.models.parler import ParlerTTS
+    from parler_tts_tpu.runtime.generate import make_generate
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_training_step import tiny_config, init_state
+    from parler_tts_tpu.training import make_optimizer
+
+    cfg = tiny_config()
+    gen = GenerationConfig(
+        max_length=20, min_new_tokens=6, do_sample=False,
+        bos_token_id=89, pad_token_id=88, eos_token_id=88,
+    )
+    base = ParlerTTS(cfg)
+    params = init_state(base, make_optimizer()).params
+    flash = ParlerTTS(cfg, use_flash_decode=True)
+
+    rng = np.random.default_rng(0)
+    desc = rng.integers(0, 120, (2, 9)).astype(np.int32)
+    dm = np.ones((2, 9), np.int32)
+    prompt = rng.integers(0, 256, (2, 5)).astype(np.int32)
+    pm = np.ones((2, 5), np.int32)
+    pm[0, :2] = 0  # left padding exercises flash starts
+
+    out_a = make_generate(base, gen)(params, desc, dm, prompt, pm, jax.random.key(0))
+    out_b = make_generate(flash, gen)(params, desc, dm, prompt, pm, jax.random.key(0))
+    np.testing.assert_array_equal(np.asarray(out_a.delayed_ids), np.asarray(out_b.delayed_ids))
