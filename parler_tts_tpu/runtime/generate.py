@@ -68,9 +68,13 @@ def _sample_column(
     rng: jax.Array,
     gen: GenerationConfig,
     num_codebooks: int,
+    prompt_cols: int = 1,
 ) -> Tuple[jnp.ndarray, EosState]:
     """One sampling event: processors in reference order (min-length -> EOS
-    ordering -> warpers), finished-row PAD forcing, delay-pattern override."""
+    ordering -> warpers), finished-row PAD forcing, delay-pattern override.
+    `prompt_cols` = decoder-prompt column count (1 = BOS only; more when voice
+    steering) — min_new_tokens counts from there, like HF's prompt_length_to_skip.
+    """
     x = logits.astype(jnp.float32)
     if gen.codebook_guard is not None:
         v = x.shape[-1]
@@ -78,7 +82,9 @@ def _sample_column(
         blocked = (ids >= gen.codebook_guard) & (ids != gen.eos_token_id)
         x = jnp.where(blocked[None, None, :], jnp.finfo(jnp.float32).min, x)
     if gen.min_new_tokens > 0:
-        x = suppress_eos_before_min_length(x, t, gen.min_new_tokens + 1, gen.eos_token_id)
+        x = suppress_eos_before_min_length(
+            x, t, gen.min_new_tokens + prompt_cols, gen.eos_token_id
+        )
     eos_state = advance_eos_state(eos_state, num_codebooks)
     x = mask_eos_ordering(x, eos_state, gen.eos_token_id)
     toks = sample_tokens(
@@ -104,9 +110,17 @@ def generate_tokens(
     prompt_ids: jnp.ndarray,
     prompt_mask: Optional[jnp.ndarray],
     rng: jax.Array,
+    decoder_prompt_codes: Optional[jnp.ndarray] = None,
     cache_dtype=jnp.bfloat16,
 ) -> GenerateOutput:
-    """Full token generation (trace-once; wrap in jax.jit via `make_generate`)."""
+    """Full token generation (trace-once; wrap in jax.jit via `make_generate`).
+
+    `decoder_prompt_codes` (B, K, T0) enables voice steering: codec tokens of a
+    reference audio clip are used as the decoder prompt, so generation
+    continues that voice (reference `_prepare_audio_encoder_kwargs_for_generation`,
+    modeling:3136-3194 — there the codes come from `audio_encoder.encode`; here
+    the pipeline encodes with the JAX DAC and passes codes in).
+    """
     cfg: ParlerTTSConfig = model.config
     dcfg = cfg.decoder
     k_cb, max_len = dcfg.num_codebooks, gen.max_length
@@ -137,8 +151,14 @@ def generate_tokens(
         prefix = prompt
         prefix_mask = prompt_mask.astype(jnp.int32)
 
-    # ---- delay pattern
+    # ---- delay pattern (BOS start column, plus audio-prompt codes when
+    # voice-steering — the reference prepends the start token the same way,
+    # modeling:3022-3031)
     start = jnp.full((b, k_cb, 1), gen.bos_token_id, jnp.int32)
+    if decoder_prompt_codes is not None:
+        start = jnp.concatenate(
+            [start, decoder_prompt_codes.astype(jnp.int32)], axis=-1
+        )
     first_ids, pattern = build_delay_pattern_mask(
         start, gen.bos_token_id, gen.pad_token_id, max_len
     )
@@ -178,21 +198,23 @@ def generate_tokens(
             variables, ids, method=lambda m, x: m.decoder_lm.embed_ids(x)
         )
 
-    # ---- prefill: [prompt prefix, BOS column 0]
+    # ---- prefill: [prompt prefix, delayed columns 0 .. s0-1]
+    s0 = first_ids.shape[-1]  # 1 (BOS) or 1 + voice-prompt length
     emb0 = embed_ids(first_ids)
     pre_embeds = jnp.concatenate([prefix.astype(emb0.dtype), emb0], axis=1)
-    abs_pos = jnp.broadcast_to(jnp.arange(s_p + 1), (b, s_p + 1))
+    abs_pos = jnp.broadcast_to(jnp.arange(s_p + s0), (b, s_p + s0))
     logits_pre, cache = decoder_forward(pre_embeds, abs_pos, cache)
 
-    # ---- first sampled column
+    # ---- first sampled column (index s0)
     rng, r1 = jax.random.split(rng)
     eos_state = init_eos_state(b, k_cb)
     col1, eos_state = _sample_column(
-        logits_pre[:, :, -1, :], jnp.int32(1), eos_state, pattern, r1, gen, k_cb
+        logits_pre[:, :, -1, :], jnp.int32(s0), eos_state, pattern, r1, gen,
+        k_cb, prompt_cols=s0,
     )
-    out_ids = out_ids.at[:, :, 1].set(col1)
+    out_ids = jax.lax.dynamic_update_slice(out_ids, col1[:, :, None], (0, 0, s0))
 
-    # ---- decode loop: sample columns 2 .. L-1
+    # ---- decode loop: sample columns s0+1 .. L-1
     def cond(s: GenLoopState):
         return (s.t < max_len) & ~jnp.all(s.eos.eos_seen)
 
@@ -205,14 +227,15 @@ def generate_tokens(
         )
         rng, r = jax.random.split(s.rng)
         col, eos = _sample_column(
-            logits[:, :, -1, :], s.t, s.eos, pattern, r, gen, k_cb
+            logits[:, :, -1, :], s.t, s.eos, pattern, r, gen, k_cb,
+            prompt_cols=s0,
         )
         out = jax.lax.dynamic_update_slice(
             s.out_ids, col[:, :, None], (0, 0, s.t)
         )
         return GenLoopState(out, cache, eos, rng, s.t + 1)
 
-    init = GenLoopState(out_ids, cache, eos_state, rng, jnp.int32(2))
+    init = GenLoopState(out_ids, cache, eos_state, rng, jnp.int32(s0 + 1))
     final = jax.lax.while_loop(cond, body, init)
 
     delayed = apply_delay_pattern_mask(final.out_ids, pattern)
@@ -225,10 +248,12 @@ def make_generate(model: ParlerTTS, gen: GenerationConfig, cache_dtype=jnp.bfloa
     """jit-wrapped `generate_tokens` (one compile per input-shape signature)."""
 
     @functools.partial(jax.jit, static_argnames=())
-    def fn(params, desc_ids, desc_mask, prompt_ids, prompt_mask, rng):
+    def fn(params, desc_ids, desc_mask, prompt_ids, prompt_mask, rng,
+           decoder_prompt_codes=None):
         return generate_tokens(
             model, gen, params, desc_ids, desc_mask, prompt_ids, prompt_mask,
-            rng, cache_dtype=cache_dtype,
+            rng, decoder_prompt_codes=decoder_prompt_codes,
+            cache_dtype=cache_dtype,
         )
 
     return fn

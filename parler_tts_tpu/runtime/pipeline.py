@@ -198,9 +198,10 @@ class ParlerTTSPipeline:
             jnp.zeros((1, 2, config.decoder.num_codebooks), jnp.int32),
         )["params"]
         dac = DACModel(config.audio_encoder)
+        # full roundtrip init so both encode (voice steering, training stage 1)
+        # and decode paths have params
         dac_params = dac.init(
-            k2, jnp.zeros((1, config.audio_encoder.num_codebooks, 2), jnp.int32),
-            method="decode",
+            k2, jnp.zeros((1, config.audio_encoder.hop_length, 1), jnp.float32),
         )["params"]
         return cls(model, params, dac, dac_params, generation_config, **kw)
 
@@ -230,6 +231,7 @@ class ParlerTTSPipeline:
         prompt_ids: np.ndarray,
         prompt_mask: Optional[np.ndarray],
         seed: int = 0,
+        decoder_prompt_codes: Optional[np.ndarray] = None,
     ):
         out = self._generate_fn(
             self.params,
@@ -238,8 +240,27 @@ class ParlerTTSPipeline:
             jnp.asarray(prompt_ids),
             jnp.asarray(prompt_mask) if prompt_mask is not None else None,
             jax.random.key(seed),
+            jnp.asarray(decoder_prompt_codes)
+            if decoder_prompt_codes is not None
+            else None,
         )
         return out
+
+    def encode_voice_prompt(self, audio: np.ndarray) -> np.ndarray:
+        """Raw waveform (B, T) or (T,) -> codec codes (B, K, T/hop) for voice
+        steering (reference `_prepare_audio_encoder_kwargs_for_generation`,
+        modeling:3136-3194)."""
+        audio = np.asarray(audio, np.float32)
+        if audio.ndim == 1:
+            audio = audio[None]
+        hop = self.config.audio_encoder.hop_length
+        t_pad = ((audio.shape[-1] + hop - 1) // hop) * hop
+        padded = np.zeros((audio.shape[0], t_pad, 1), np.float32)
+        padded[:, : audio.shape[-1], 0] = audio
+        encode = jax.jit(
+            lambda p, a: self.dac.apply({"params": p}, a, method="encode")
+        )
+        return np.asarray(encode(self.dac_params, jnp.asarray(padded)))
 
     def decode_codes(self, codes: jnp.ndarray, lengths: jnp.ndarray):
         """Bucketed DAC decode: (B, K, T) codes -> (B, samples) waveform + lengths."""

@@ -110,3 +110,26 @@ def test_decode_codes_bucketing(pipe):
     # bucket rounds decode length up to frame_bucket frames
     assert audio.shape[1] % (pipe.frame_bucket * CFG.audio_encoder.hop_length) == 0 or \
         audio.shape[1] == out.codes.shape[-1] * CFG.audio_encoder.hop_length
+
+
+def test_voice_steering_prefix_respected(pipe):
+    """Audio-prompt codes become the decoder prompt: the un-delayed output's
+    leading frames equal the provided codes, and generation continues past them
+    (reference voice-steering path, modeling:3136-3194)."""
+    import jax.numpy as jnp
+
+    desc, dm, prompt, pm = _ids(seed=7, b=2)
+    rng = np.random.default_rng(8)
+    t0 = 4
+    voice_codes = rng.integers(0, PAD, size=(2, 4, t0)).astype(np.int32)
+
+    out = pipe.generate_codes(desc, dm, prompt, pm, seed=3,
+                              decoder_prompt_codes=voice_codes)
+    codes = np.asarray(out.codes)
+    np.testing.assert_array_equal(codes[:, :, :t0], voice_codes)
+    assert int(out.steps) > t0 + 1
+    # encode_voice_prompt produces codes of the right shape from raw audio
+    hop = CFG.audio_encoder.hop_length
+    audio = rng.normal(size=(2, 6 * hop)).astype(np.float32) * 0.1
+    enc = pipe.encode_voice_prompt(audio)
+    assert enc.shape == (2, CFG.audio_encoder.num_codebooks, 6)
