@@ -259,6 +259,94 @@ def make_generate(model: ParlerTTS, gen: GenerationConfig, cache_dtype=jnp.bfloa
     return fn
 
 
+def generate_tokens_decoder_only(
+    model: ParlerTTS,
+    gen: GenerationConfig,
+    params,
+    rng: jax.Array,
+    batch_size: int,
+    encoder_hidden_states: Optional[jnp.ndarray] = None,
+    encoder_mask: Optional[jnp.ndarray] = None,
+    decoder_prompt_codes: Optional[jnp.ndarray] = None,
+    cache_dtype=jnp.bfloat16,
+) -> GenerateOutput:
+    """Decoder-only generation (reference `ParlerTTSForCausalLM.generate`,
+    modeling:2071-2298): no text encoder, no prompt prefix — optional
+    precomputed encoder states for cross-attention, optional audio-prompt codes.
+    """
+    dcfg = model.config.decoder
+    k_cb, max_len = dcfg.num_codebooks, gen.max_length
+    b = batch_size
+    variables = {"params": params}
+
+    start = jnp.full((b, k_cb, 1), gen.bos_token_id, jnp.int32)
+    if decoder_prompt_codes is not None:
+        start = jnp.concatenate([start, decoder_prompt_codes.astype(jnp.int32)], axis=-1)
+    first_ids, pattern = build_delay_pattern_mask(
+        start, gen.bos_token_id, gen.pad_token_id, max_len
+    )
+    out_ids = jnp.where(pattern == -1, gen.pad_token_id, pattern)
+
+    if encoder_hidden_states is None:
+        # zero-state cross attention (the decoder still has cross-attn params)
+        encoder_hidden_states = jnp.zeros((b, 1, dcfg.hidden_size), jnp.float32)
+        encoder_mask = jnp.zeros((b, 1), jnp.int32)
+
+    cache = DecoderCache.zeros(dcfg, b, max_len, encoder_hidden_states.shape[1], cache_dtype)
+    cross_k, cross_v = model.apply(
+        variables, encoder_hidden_states,
+        method=lambda m, x: m.decoder_lm.precompute_cross_kv(x),
+    )
+    cache = cache.replace(cross_k=cross_k, cross_v=cross_v)
+    kv_valid = jnp.ones((b, max_len), bool)
+
+    def fwd(embeds, abs_positions, cache):
+        bias = causal_self_attention_bias(abs_positions, kv_valid)
+        cross_bias = padding_cross_attention_bias(encoder_mask, embeds.shape[1])
+        return model.apply(
+            variables, embeds, abs_positions,
+            self_attn_bias=bias, cross_attn_bias=cross_bias, cache=cache,
+            method=lambda m, *a, **kw: m.decoder_lm(*a, **kw),
+        )
+
+    def embed_ids(ids):
+        return model.apply(variables, ids, method=lambda m, x: m.decoder_lm.embed_ids(x))
+
+    s0 = first_ids.shape[-1]
+    abs_pos = jnp.broadcast_to(jnp.arange(s0), (b, s0))
+    logits_pre, cache = fwd(embed_ids(first_ids), abs_pos, cache)
+
+    rng, r1 = jax.random.split(rng)
+    eos_state = init_eos_state(b, k_cb)
+    col1, eos_state = _sample_column(
+        logits_pre[:, :, -1, :], jnp.int32(s0), eos_state, pattern, r1, gen,
+        k_cb, prompt_cols=s0,
+    )
+    out_ids = jax.lax.dynamic_update_slice(out_ids, col1[:, :, None], (0, 0, s0))
+
+    def cond(s: GenLoopState):
+        return (s.t < max_len) & ~jnp.all(s.eos.eos_seen)
+
+    def body(s: GenLoopState):
+        col_in = jax.lax.dynamic_slice_in_dim(s.out_ids, s.t - 1, 1, axis=2)
+        q_pos = jnp.zeros((b, 1), jnp.int32) + (s.t - 1)
+        logits, cache = fwd(embed_ids(col_in), q_pos, s.cache)
+        rng, r = jax.random.split(s.rng)
+        col, eos = _sample_column(
+            logits[:, :, -1, :], s.t, s.eos, pattern, r, gen, k_cb, prompt_cols=s0
+        )
+        out = jax.lax.dynamic_update_slice(s.out_ids, col[:, :, None], (0, 0, s.t))
+        return GenLoopState(out, cache, eos, rng, s.t + 1)
+
+    final = jax.lax.while_loop(
+        cond, body, GenLoopState(out_ids, cache, eos_state, rng, jnp.int32(s0 + 1))
+    )
+    delayed = apply_delay_pattern_mask(final.out_ids, pattern)
+    codes = undelay_pattern(delayed, k_cb)
+    lengths = valid_frame_lengths(codes, dcfg.pad_token_id)
+    return GenerateOutput(delayed, codes, lengths, final.t)
+
+
 # ------------------------------------------------------------------ streaming
 @flax.struct.dataclass
 class StreamState:

@@ -229,6 +229,119 @@ def run_training(
     return state, step
 
 
+def main(argv=None):
+    """CLI entry: `python -m parler_tts_tpu.training.run_training cfg.json`.
+
+    End-to-end equivalent of `accelerate launch run_parler_tts_training.py`
+    (reference :73-1249): load datasets, tokenize text, offline-encode audio to
+    codec labels (stage 1), then run the pjit train loop (stage 2). Requires
+    the `datasets` package and either network access or a local dataset cache.
+    """
+    import pickle
+
+    logging.basicConfig(level=logging.INFO)
+    from .arguments import parse_args
+    from .data import (
+        DataCollatorEncodecWithPadding,
+        convert_dataset_str_to_list,
+        load_multiple_datasets,
+    )
+
+    model_args, data_args, training_args = parse_args(argv)
+
+    # ---- model + codec
+    from ..runtime.pipeline import ParlerTTSPipeline, load_hf_config
+
+    path = model_args.model_name_or_path
+    if os.path.isdir(path) and os.path.exists(os.path.join(path, "params.pkl")):
+        cfg = load_hf_config(path)
+        from ..models.parler import ParlerTTS
+
+        model = ParlerTTS(cfg)
+        with open(os.path.join(path, "params.pkl"), "rb") as f:
+            params = pickle.load(f)
+        pipe = None
+    else:
+        pipe = ParlerTTSPipeline.from_pretrained(path)
+        cfg, model, params = pipe.config, pipe.model, pipe.params
+
+    from transformers import AutoTokenizer
+
+    desc_tok = AutoTokenizer.from_pretrained(
+        model_args.description_tokenizer_name or path
+    )
+    prompt_tok = AutoTokenizer.from_pretrained(
+        model_args.prompt_tokenizer_name or path
+    )
+
+    # ---- datasets
+    specs = convert_dataset_str_to_list(
+        data_args.train_dataset_name,
+        data_args.train_dataset_config_name,
+        metadata_dataset_names=data_args.train_metadata_dataset_name,
+        splits=data_args.train_split_name,
+        dataset_samples=data_args.train_dataset_samples,
+    )
+    sr = cfg.audio_encoder.sampling_rate
+    ds = load_multiple_datasets(
+        specs, sr, id_column_name=data_args.id_column_name,
+        num_proc=data_args.preprocessing_num_workers,
+    )
+    if data_args.max_train_samples:
+        ds = ds.select(range(data_args.max_train_samples))
+
+    # ---- stage 1: offline codec tokenization (resumable)
+    from ..codec.dac_model import DACModel
+
+    dac = DACModel(cfg.audio_encoder)
+    dac_params = pipe.dac_params if pipe is not None else None
+    if dac_params is None:
+        raise SystemExit("codec params required: load from a full checkpoint")
+
+    coll = DataCollatorEncodecWithPadding(
+        sampling_rate=sr,
+        hop_length=cfg.audio_encoder.hop_length,
+        audio_column_name=data_args.target_audio_column_name,
+        max_length_seconds=data_args.max_duration_in_seconds,
+    )
+    bs = training_args.audio_encoder_per_device_batch_size
+
+    def audio_batches():
+        for i in range(0, len(ds), bs):
+            yield coll([ds[j] for j in range(i, min(i + bs, len(ds)))])
+
+    labels = encode_corpus_stage(
+        dac, dac_params, audio_batches(),
+        bos_token_id=cfg.decoder.bos_token_id,
+        eos_token_id=cfg.decoder.eos_token_id,
+        max_label_length=model_args.max_length,
+        hop_length=cfg.audio_encoder.hop_length,
+        save_dir=data_args.temporary_save_to_disk,
+        save_steps=data_args.save_codec_steps,
+    )
+
+    features = []
+    for i, lab in enumerate(labels):
+        row = ds[i]
+        features.append(
+            {
+                "labels": lab,
+                "input_ids": desc_tok(row[data_args.description_column_name])["input_ids"],
+                "prompt_input_ids": prompt_tok(row[data_args.prompt_column_name])["input_ids"],
+            }
+        )
+    if data_args.save_to_disk:
+        os.makedirs(data_args.save_to_disk, exist_ok=True)
+        with open(os.path.join(data_args.save_to_disk, "features.pkl"), "wb") as f:
+            pickle.dump(features, f)
+    if data_args.preprocessing_only:
+        logger.info("preprocessing_only: wrote %d features, exiting", len(features))
+        return
+
+    # ---- stage 2
+    run_training(model_args, data_args, training_args, model, params, features)
+
+
 def run_eval(model, state, collator, eval_features, training_args, tracker, step, epoch):
     """Eval loss loop (reference :1125-1135); generation metrics are wired via
     training.eval_metrics when their optional deps exist."""
@@ -260,3 +373,7 @@ def run_eval(model, state, collator, eval_features, training_args, tracker, step
     if losses:
         log_metric(tracker, {"loss": float(np.mean(losses))}, 0.0, step, epoch, prefix="eval")
     return float(np.mean(losses)) if losses else None
+
+
+if __name__ == "__main__":
+    main()
