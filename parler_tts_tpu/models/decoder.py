@@ -103,7 +103,8 @@ class Attention(nn.Module):
     config: DecoderConfig
     num_kv_heads: int
     dtype: jnp.dtype = jnp.float32
-    use_flash_decode: bool = False  # opt-in Pallas kernel for T==1 decode
+    use_flash_decode: bool = False       # opt-in Pallas kernel for T==1 decode
+    use_chunked_attention: bool = False  # O(T*chunk)-memory training attention
 
     def setup(self):
         cfg = self.config
@@ -147,6 +148,7 @@ class Attention(nn.Module):
         layer_idx: int = 0,
         cache_index: Optional[jnp.ndarray] = None,
         decode_lengths: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+        mask_1d: Optional[jnp.ndarray] = None,
     ):
         """Returns (out, updated stacked cache (or None)).
 
@@ -185,6 +187,12 @@ class Attention(nn.Module):
             out = flash_decode_attention(
                 q[:, 0], k.astype(q.dtype), v.astype(q.dtype), starts, limit
             )[:, None]
+        elif self.use_chunked_attention and cache_kv is None and mask_1d is not None:
+            from ..ops.chunked_attention import chunked_attention
+
+            out = chunked_attention(
+                q, k.astype(q.dtype), v.astype(q.dtype), mask_1d, causal=True
+            )
         else:
             out = _gqa_attention(q, k.astype(q.dtype), v.astype(q.dtype), bias)
         return self.out_proj(out.reshape(b, t, -1)), cache_kv
@@ -212,13 +220,15 @@ class DecoderLayer(nn.Module):
     config: DecoderConfig
     dtype: jnp.dtype = jnp.float32
     use_flash_decode: bool = False
+    use_chunked_attention: bool = False
 
     def setup(self):
         cfg = self.config
         ln = lambda name: nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=name)  # noqa: E731
         self.self_attn = Attention(
             cfg, cfg.num_key_value_heads, self.dtype,
-            use_flash_decode=self.use_flash_decode, name="self_attn",
+            use_flash_decode=self.use_flash_decode,
+            use_chunked_attention=self.use_chunked_attention, name="self_attn",
         )
         self.self_attn_layer_norm = ln("self_attn_layer_norm")
         self.encoder_attn = Attention(
@@ -250,13 +260,14 @@ class DecoderLayer(nn.Module):
         layer_idx: int = 0,
         cache_index: Optional[jnp.ndarray] = None,
         decode_lengths: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+        mask_1d: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
     ):
         residual = x
         h = self.self_attn_layer_norm(x)
         h, cache_kv = self.self_attn.self_attention(
             h, self_attn_bias, cos, sin, cache_kv, layer_idx, cache_index,
-            decode_lengths,
+            decode_lengths, mask_1d,
         )
         x = residual + self.dropout(h, deterministic=deterministic)
 
@@ -281,6 +292,7 @@ class ParlerDecoder(nn.Module):
     config: DecoderConfig
     dtype: jnp.dtype = jnp.float32
     use_flash_decode: bool = False
+    use_chunked_attention: bool = False
 
     def setup(self):
         cfg = self.config
@@ -292,7 +304,10 @@ class ParlerDecoder(nn.Module):
             jnp.float32,
         )
         self.layers = [
-            DecoderLayer(cfg, self.dtype, self.use_flash_decode, name=f"layers_{i}")
+            DecoderLayer(
+                cfg, self.dtype, self.use_flash_decode,
+                self.use_chunked_attention, name=f"layers_{i}",
+            )
             for i in range(cfg.num_hidden_layers)
         ]
         self.layer_norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="layer_norm")
@@ -332,6 +347,7 @@ class ParlerDecoder(nn.Module):
         cross_attn_bias: Optional[jnp.ndarray] = None,        # (B, 1, T, S_enc)
         cache: Optional[DecoderCache] = None,
         decode_lengths: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+        mask_1d: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
     ):
         cfg = self.config
@@ -368,6 +384,7 @@ class ParlerDecoder(nn.Module):
                 layer_idx=i,
                 cache_index=idx,
                 decode_lengths=decode_lengths,
+                mask_1d=mask_1d,
                 deterministic=deterministic,
             )
 
@@ -391,10 +408,14 @@ class ParlerForCausalLM(nn.Module):
     config: DecoderConfig
     dtype: jnp.dtype = jnp.float32
     use_flash_decode: bool = False
+    use_chunked_attention: bool = False
 
     def setup(self):
         cfg = self.config
-        self.decoder = ParlerDecoder(cfg, self.dtype, self.use_flash_decode, name="decoder")
+        self.decoder = ParlerDecoder(
+            cfg, self.dtype, self.use_flash_decode,
+            self.use_chunked_attention, name="decoder",
+        )
         # (K, D, V) — applied as one fused einsum (TPU-native `use_fused_lm_heads`).
         self.lm_heads = self.param(
             "lm_heads",
@@ -420,6 +441,7 @@ class ParlerForCausalLM(nn.Module):
         cross_attn_bias: Optional[jnp.ndarray] = None,
         cache: Optional[DecoderCache] = None,
         decode_lengths: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+        mask_1d: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
     ):
         hidden, new_cache = self.decoder(
@@ -430,6 +452,7 @@ class ParlerForCausalLM(nn.Module):
             cross_attn_bias=cross_attn_bias,
             cache=cache,
             decode_lengths=decode_lengths,
+            mask_1d=mask_1d,
             deterministic=deterministic,
         )
         return self.logits(hidden), new_cache

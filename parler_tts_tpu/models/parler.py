@@ -37,12 +37,14 @@ class ParlerTTS(nn.Module):
     config: ParlerTTSConfig
     dtype: jnp.dtype = jnp.float32
     use_flash_decode: bool = False
+    use_chunked_attention: bool = False  # O(T*chunk)-memory training attention
 
     def setup(self):
         cfg = self.config
         self.text_encoder = T5Encoder(cfg.text_encoder, self.dtype, name="text_encoder")
         self.decoder_lm = ParlerForCausalLM(
-            cfg.decoder, self.dtype, self.use_flash_decode, name="decoder"
+            cfg.decoder, self.dtype, self.use_flash_decode,
+            self.use_chunked_attention, name="decoder",
         )
         # prompt embedding: (prompt_vocab, decoder_hidden) — modeling:2395
         self.embed_prompts = nn.Embed(
@@ -156,7 +158,9 @@ class ParlerTTS(nn.Module):
         # masked prompt tokens count toward positions in all modes.
         position_ids = jnp.broadcast_to(jnp.arange(full_t), (b, full_t))
 
-        self_bias = dense_self_attention_bias(dec_mask)
+        # chunked attention computes causality+padding on the fly — never
+        # materialize the (B, 1, T, T) bias at long T
+        self_bias = None if self.use_chunked_attention else dense_self_attention_bias(dec_mask)
         cross_bias = padding_cross_attention_bias(enc_mask, full_t)
 
         logits, _ = self.decoder_lm(
@@ -165,6 +169,7 @@ class ParlerTTS(nn.Module):
             self_attn_bias=self_bias,
             encoder_hidden_states=enc_states,
             cross_attn_bias=cross_bias,
+            mask_1d=dec_mask if self.use_chunked_attention else None,
             deterministic=deterministic,
         )
         # keep only label positions (drop the prompt prefix) — modeling:1896-1899

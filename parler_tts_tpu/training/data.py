@@ -102,6 +102,25 @@ class DataCollatorParlerTTSWithPadding:
         )
 
 
+def length_grouped_order(
+    lengths: Sequence[int], batch_size: int, seed: int, mega_batch_mult: int = 50
+) -> np.ndarray:
+    """Length-grouped shuffling (`group_by_length` parity — the reference uses
+    transformers' LengthGroupedSampler, run_parler_tts_training.py:994-996):
+    shuffle globally, then sort within mega-batches of `mega_batch_mult *
+    batch_size` so co-batched samples have similar lengths (less padding waste,
+    fewer shape buckets)."""
+    rng = np.random.default_rng(seed)
+    lengths = np.asarray(lengths)
+    indices = rng.permutation(len(lengths))
+    mb = batch_size * mega_batch_mult
+    out = []
+    for i in range(0, len(indices), mb):
+        chunk = indices[i : i + mb]
+        out.append(chunk[np.argsort(lengths[chunk])[::-1]])
+    return np.concatenate(out)
+
+
 def convert_dataset_str_to_list(
     dataset_names: str,
     dataset_config_names: str,
