@@ -97,6 +97,33 @@ def _gqa_attention(
     return out.reshape(b, t, h, dh)
 
 
+class QuantDense(nn.Module):
+    """Weight-only int8 linear: int8 kernel + per-output-channel scales.
+
+    Serving-mode replacement for the hot nn.Dense matmuls — halves the HBM
+    weight traffic that bounds B=1 decode (see utils/quantize.py). The int8 ->
+    compute-dtype cast happens in-register after the 1-byte HBM read; the
+    scale multiply fuses into the matmul epilogue.
+    """
+
+    features: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        from ..ops.pallas.quant_matmul import quant_matmul
+
+        w_q = self.param(
+            "w_q", nn.initializers.zeros, (x.shape[-1], self.features), jnp.int8
+        )
+        scale = self.param(
+            "scale", nn.initializers.ones, (self.features,), jnp.float32
+        )
+        shape = x.shape
+        y = quant_matmul(x.reshape(-1, shape[-1]).astype(self.dtype), w_q, scale)
+        return y.reshape(*shape[:-1], self.features)
+
+
 class Attention(nn.Module):
     """Bias-free multi-head attention with GQA/MQA (reference modeling:439-584)."""
 
@@ -105,14 +132,18 @@ class Attention(nn.Module):
     dtype: jnp.dtype = jnp.float32
     use_flash_decode: bool = False       # opt-in Pallas kernel for T==1 decode
     use_chunked_attention: bool = False  # O(T*chunk)-memory training attention
+    weight_quant: bool = False           # int8 weight-only serving mode
 
     def setup(self):
         cfg = self.config
         d, dh = cfg.hidden_size, cfg.head_dim
-        dense = lambda feats, name: nn.Dense(  # noqa: E731
-            feats, use_bias=False, dtype=self.dtype, name=name,
-            kernel_init=nn.initializers.normal(cfg.initializer_factor),
-        )
+        if self.weight_quant:
+            dense = lambda feats, name: QuantDense(feats, self.dtype, name=name)  # noqa: E731
+        else:
+            dense = lambda feats, name: nn.Dense(  # noqa: E731
+                feats, use_bias=False, dtype=self.dtype, name=name,
+                kernel_init=nn.initializers.normal(cfg.initializer_factor),
+            )
         self.q_proj = dense(d, "q_proj")
         self.k_proj = dense(self.num_kv_heads * dh, "k_proj")
         self.v_proj = dense(self.num_kv_heads * dh, "v_proj")
@@ -221,6 +252,7 @@ class DecoderLayer(nn.Module):
     dtype: jnp.dtype = jnp.float32
     use_flash_decode: bool = False
     use_chunked_attention: bool = False
+    weight_quant: bool = False
 
     def setup(self):
         cfg = self.config
@@ -228,17 +260,23 @@ class DecoderLayer(nn.Module):
         self.self_attn = Attention(
             cfg, cfg.num_key_value_heads, self.dtype,
             use_flash_decode=self.use_flash_decode,
-            use_chunked_attention=self.use_chunked_attention, name="self_attn",
+            use_chunked_attention=self.use_chunked_attention,
+            weight_quant=self.weight_quant, name="self_attn",
         )
         self.self_attn_layer_norm = ln("self_attn_layer_norm")
         self.encoder_attn = Attention(
-            cfg, cfg.num_cross_attention_key_value_heads, self.dtype, name="encoder_attn"
+            cfg, cfg.num_cross_attention_key_value_heads, self.dtype,
+            weight_quant=self.weight_quant, name="encoder_attn",
         )
         self.encoder_attn_layer_norm = ln("encoder_attn_layer_norm")
-        self.fc1 = nn.Dense(cfg.ffn_dim, use_bias=False, dtype=self.dtype, name="fc1",
-                            kernel_init=nn.initializers.normal(cfg.initializer_factor))
-        self.fc2 = nn.Dense(cfg.hidden_size, use_bias=False, dtype=self.dtype, name="fc2",
-                            kernel_init=nn.initializers.normal(cfg.initializer_factor))
+        if self.weight_quant:
+            self.fc1 = QuantDense(cfg.ffn_dim, self.dtype, name="fc1")
+            self.fc2 = QuantDense(cfg.hidden_size, self.dtype, name="fc2")
+        else:
+            self.fc1 = nn.Dense(cfg.ffn_dim, use_bias=False, dtype=self.dtype, name="fc1",
+                                kernel_init=nn.initializers.normal(cfg.initializer_factor))
+            self.fc2 = nn.Dense(cfg.hidden_size, use_bias=False, dtype=self.dtype, name="fc2",
+                                kernel_init=nn.initializers.normal(cfg.initializer_factor))
         self.final_layer_norm = ln("final_layer_norm")
         self.dropout = nn.Dropout(cfg.dropout)
         self.activation_dropout = nn.Dropout(cfg.activation_dropout)
@@ -293,6 +331,7 @@ class ParlerDecoder(nn.Module):
     dtype: jnp.dtype = jnp.float32
     use_flash_decode: bool = False
     use_chunked_attention: bool = False
+    weight_quant: bool = False
 
     def setup(self):
         cfg = self.config
@@ -306,7 +345,7 @@ class ParlerDecoder(nn.Module):
         self.layers = [
             DecoderLayer(
                 cfg, self.dtype, self.use_flash_decode,
-                self.use_chunked_attention, name=f"layers_{i}",
+                self.use_chunked_attention, self.weight_quant, name=f"layers_{i}",
             )
             for i in range(cfg.num_hidden_layers)
         ]
@@ -409,17 +448,20 @@ class ParlerForCausalLM(nn.Module):
     dtype: jnp.dtype = jnp.float32
     use_flash_decode: bool = False
     use_chunked_attention: bool = False
+    weight_quant: bool = False
 
     def setup(self):
         cfg = self.config
         self.decoder = ParlerDecoder(
             cfg, self.dtype, self.use_flash_decode,
-            self.use_chunked_attention, name="decoder",
+            self.use_chunked_attention, self.weight_quant, name="decoder",
         )
         # (K, D, V) — applied as one fused einsum (TPU-native `use_fused_lm_heads`).
+        # NB: heads stay bf16 even in weight_quant mode — their vocab axis
+        # (K*V) is not lane-aligned for the quant kernel and they are a small
+        # fraction of the weight bytes.
         self.lm_heads = self.param(
-            "lm_heads",
-            nn.initializers.normal(cfg.initializer_factor),
+            "lm_heads", nn.initializers.normal(cfg.initializer_factor),
             (cfg.num_codebooks, cfg.hidden_size, cfg.vocab_size),
             jnp.float32,
         )
