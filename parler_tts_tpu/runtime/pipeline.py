@@ -128,9 +128,12 @@ class ParlerTTSPipeline:
         pad_to_multiple: int = 16,
     ):
         self.model = model
-        self.params = params
+        # pin params on device ONCE: numpy param trees (checkpoint loads,
+        # quantization transforms) would otherwise re-upload every leaf on
+        # every jit dispatch (~700 DevicePuts/call through the TPU tunnel)
+        self.params = jax.device_put(params)
         self.dac = dac
-        self.dac_params = dac_params
+        self.dac_params = jax.device_put(dac_params)
         self.config = model.config
         self.tokenizer = tokenizer
         self.frame_bucket = frame_bucket
