@@ -166,12 +166,50 @@ class ParlerTTSPipeline:
         tokenizer: Any = None,
         **kw,
     ) -> "ParlerTTSPipeline":
-        """Load from an HF-format Parler-TTS checkpoint directory
-        (config.json + safetensors with text_encoder/decoder/audio_encoder)."""
-        cfg = load_hf_config(path)
-        tensors = load_safetensors_dir(path)
-        params = convert_composite_params(tensors, cfg)
-        dac_params = convert_dac_params(tensors, cfg.audio_encoder, prefix="audio_encoder.model.")
+        """Load a checkpoint directory.
+
+        Two layouts are accepted:
+          - HF format: config.json + (sharded) safetensors holding
+            text_encoder./decoder./audio_encoder. tensors (what
+            `parler-tts-mini-v1` ships and what utils/hf_export writes);
+          - native format: config.json + params.pkl (+ dac_params.pkl /
+            generation_config.json), as written by the helpers/init scripts
+            and `save_pretrained`.
+        """
+        import pickle
+
+        with open(os.path.join(path, "config.json")) as f:
+            raw_cfg = f.read()
+        native = os.path.exists(os.path.join(path, "params.pkl"))
+        if native:
+            cfg = ParlerTTSConfig.from_json(raw_cfg)
+            with open(os.path.join(path, "params.pkl"), "rb") as f:
+                params = pickle.load(f)
+            dac_path = os.path.join(path, "dac_params.pkl")
+            if os.path.exists(dac_path):
+                with open(dac_path, "rb") as f:
+                    dac_params = pickle.load(f)
+            else:
+                dac = DACModel(cfg.audio_encoder)
+                dac_params = dac.init(
+                    jax.random.key(0),
+                    jnp.zeros((1, cfg.audio_encoder.hop_length, 1), jnp.float32),
+                )["params"]
+        else:
+            cfg = load_hf_config(path)
+            tensors = load_safetensors_dir(path)
+            params = convert_composite_params(tensors, cfg)
+            dac_params = convert_dac_params(
+                tensors, cfg.audio_encoder, prefix="audio_encoder.model."
+            )
+        gen_path = os.path.join(path, "generation_config.json")
+        if generation_config is None and os.path.exists(gen_path):
+            with open(gen_path) as f:
+                raw = json.load(f)
+            fields = {f.name for f in __import__("dataclasses").fields(GenerationConfig)}
+            generation_config = GenerationConfig(
+                **{k: v for k, v in raw.items() if k in fields}
+            )
         model = ParlerTTS(cfg)
         dac = DACModel(cfg.audio_encoder)
         if tokenizer is None:
@@ -182,6 +220,22 @@ class ParlerTTSPipeline:
             except Exception:
                 tokenizer = None
         return cls(model, params, dac, dac_params, generation_config, tokenizer, **kw)
+
+    def save_pretrained(self, path: str) -> None:
+        """Write the native checkpoint layout (config.json + params.pkl +
+        dac_params.pkl + generation_config.json)."""
+        import dataclasses
+        import pickle
+
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, "config.json"), "w") as f:
+            f.write(self.config.to_json())
+        with open(os.path.join(path, "generation_config.json"), "w") as f:
+            json.dump(dataclasses.asdict(self.generation_config), f, indent=2)
+        with open(os.path.join(path, "params.pkl"), "wb") as f:
+            pickle.dump(jax.tree.map(np.asarray, self.params), f)
+        with open(os.path.join(path, "dac_params.pkl"), "wb") as f:
+            pickle.dump(jax.tree.map(np.asarray, self.dac_params), f)
 
     @classmethod
     def from_random(
