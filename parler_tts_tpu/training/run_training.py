@@ -220,6 +220,13 @@ def run_training(
                 )
             if eval_features and step % training_args.eval_steps == 0:
                 run_eval(model, state, collator, eval_features, training_args, tracker, step, epoch)
+                gen_every = training_args.eval_generation_steps or training_args.eval_steps
+                if dac is not None and dac_params is not None and step % gen_every == 0:
+                    run_eval_generation(
+                        model, state, dac, dac_params, eval_features,
+                        model_args, training_args, tracker, step, epoch,
+                        tokenizers=tokenizers,
+                    )
         if step >= total_steps:
             break
 
@@ -373,6 +380,72 @@ def run_eval(model, state, collator, eval_features, training_args, tracker, step
     if losses:
         log_metric(tracker, {"loss": float(np.mean(losses))}, 0.0, step, epoch, prefix="eval")
     return float(np.mean(losses)) if losses else None
+
+
+def run_eval_generation(
+    model, state, dac, dac_params, eval_features, model_args, training_args,
+    tracker, step, epoch, tokenizers=None, max_samples: int = 8,
+):
+    """Eval-time generation + functional metrics (reference generate_step +
+    compute_metrics, run_parler_tts_training.py:1137-1206): synthesize a few
+    eval samples, score WER/CLAP/SI-SDR when the optional deps exist, and log
+    transcription tables + audio clips."""
+    from ..runtime.pipeline import ParlerTTSPipeline
+    from .eval_metrics import clap_similarity, si_sdr, wer
+
+    cfg = model.config
+    gen = GenerationConfig(
+        max_length=min(model_args.max_length, 860),
+        do_sample=model_args.do_sample,
+        temperature=model_args.temperature,
+        bos_token_id=cfg.decoder.bos_token_id,
+        pad_token_id=cfg.decoder.pad_token_id,
+        eos_token_id=cfg.decoder.eos_token_id,
+        codebook_guard=cfg.audio_encoder.codebook_size,
+    )
+    pipe = ParlerTTSPipeline(model, state.params, dac, dac_params, gen)
+
+    feats = eval_features[:max_samples]
+    desc_tok, prompt_tok = tokenizers if tokenizers else (None, None)
+    from .data import DataCollatorParlerTTSWithPadding
+
+    coll = DataCollatorParlerTTSWithPadding(
+        prompt_padding_side=model_args.prompt_padding_side
+    )
+    batch = coll(feats)
+    audios, lengths = pipe.generate(
+        batch.input_ids, batch.prompt_input_ids,
+        desc_mask=batch.attention_mask, prompt_mask=batch.prompt_attention_mask,
+        seed=step,
+    )
+    clips = [np.asarray(audios[i, : lengths[i]]) for i in range(len(feats))]
+    sr = cfg.audio_encoder.sampling_rate
+
+    metrics = {}
+    descriptions = [f.get("description_text", "") for f in feats]
+    prompts = [f.get("prompt_text", "") for f in feats]
+    if any(descriptions) and training_args.compute_clap_similarity_metric:
+        clap = clap_similarity(model_args.clap_model_name_or_path, descriptions, clips, sr)
+        if clap is not None:
+            metrics["clap"] = clap
+    sdr = si_sdr(clips, sr) if training_args.compute_noise_level_metric else None
+    if sdr is not None:
+        metrics["si_sdr"] = float(np.mean(sdr))
+    transcriptions = []
+    if any(prompts):
+        wer_out = wer(
+            model_args.asr_model_name_or_path, prompts, clips, sr,
+            training_args.per_device_eval_batch_size,
+            training_args.noise_level_to_compute_clean_wer, sdr,
+        )
+        if wer_out is not None:
+            metrics["wer"], clean, transcriptions = wer_out
+            if clean is not None:
+                metrics["clean_wer"] = clean
+    if metrics:
+        log_metric(tracker, metrics, 0.0, step, epoch, prefix="eval")
+    log_pred(tracker, descriptions, prompts, transcriptions, clips, sr, step)
+    return metrics
 
 
 if __name__ == "__main__":

@@ -1,6 +1,7 @@
 """Training pipeline pieces: collators, label building, checkpoints, and an
 end-to-end smoke train run (the reference's dummy-config strategy, SURVEY §4)."""
 
+import dataclasses
 import os
 
 import jax
@@ -164,3 +165,56 @@ def test_end_to_end_smoke_training(tmp_path):
     state2, step2 = run_training(margs, dargs, targs2, model, params, feats)
     assert step2 == 6
     assert int(state2.step) == 6
+
+
+def test_eval_generation_smoke(tmp_path):
+    """run_eval_generation produces audio + logs without optional metric deps."""
+    import jax
+    from parler_tts_tpu.codec.dac_model import DACModel
+    from parler_tts_tpu.config import DACConfig
+    from parler_tts_tpu.training import TrainState, make_optimizer
+    from parler_tts_tpu.training.run_training import run_eval_generation
+
+    # tiny codec geometry so decode is fast on CPU
+    cfg = tiny_config()
+    dac_cfg = DACConfig(
+        num_codebooks=4, codebook_size=PAD, codebook_dim=4, latent_dim=32,
+        encoder_dim=4, encoder_rates=(2, 4), decoder_dim=32, decoder_rates=(4, 2),
+        sampling_rate=8000, frame_rate=1000,
+    )
+    cfg = dataclasses.replace(cfg, audio_encoder=dac_cfg)
+    from parler_tts_tpu.models.parler import ParlerTTS
+
+    model = ParlerTTS(cfg)
+    rng = np.random.default_rng(0)
+    params = model.init(
+        jax.random.key(0),
+        np.zeros((1, 4), np.int32), np.ones((1, 4), np.int32),
+        np.zeros((1, 3), np.int32), np.ones((1, 3), np.int32),
+        np.zeros((1, 2, 4), np.int32),
+    )["params"]
+    state = TrainState.create(params, make_optimizer())
+    dac = DACModel(dac_cfg)
+    dac_params = dac.init(
+        jax.random.key(1), np.zeros((1, dac_cfg.num_codebooks, 2), np.int32),
+        method="decode",
+    )["params"]
+
+    feats = [
+        {
+            "labels": rng.integers(0, PAD, size=(10, 4)),
+            "input_ids": list(rng.integers(0, 120, size=6)),
+            "prompt_input_ids": list(rng.integers(0, 256, size=4)),
+        }
+        for _ in range(2)
+    ]
+    margs = ModelArguments(max_length=24, do_sample=False)
+    targs = TrainingArguments(
+        output_dir=str(tmp_path), compute_clap_similarity_metric=False,
+        compute_noise_level_metric=False, report_to="none",
+    )
+    metrics = run_eval_generation(
+        model, state, dac, dac_params, feats, margs, targs,
+        tracker=None, step=1, epoch=0, max_samples=2,
+    )
+    assert isinstance(metrics, dict)
