@@ -66,13 +66,9 @@ def main():
 
 
 def _write_wav(path: str, rate: int, wav: np.ndarray):
-    import wave
+    from parler_tts_tpu.native import write_wav
 
-    with wave.open(path, "wb") as w:
-        w.setnchannels(1)
-        w.setsampwidth(2)
-        w.setframerate(rate)
-        w.writeframes((np.clip(wav, -1, 1) * 32767).astype(np.int16).tobytes())
+    write_wav(path, rate, np.asarray(wav, np.float32))
 
 
 if __name__ == "__main__":

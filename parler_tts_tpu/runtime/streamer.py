@@ -74,3 +74,47 @@ class ParlerTTSStreamer:
         if value is self.stop_signal:
             raise StopIteration()
         return value
+
+    # ------------------------------------------------------------- PCM stream
+    def pcm_stream(
+        self, desc_ids, desc_mask, prompt_ids, prompt_mask,
+        seed: int = 0, ring_capacity: int = 1 << 22,
+    ):
+        """Yield int16 PCM byte chunks through the native C++ ring buffer —
+        the zero-copy hand-off an audio device callback would consume
+        (float->PCM conversion and buffering run in the C++ extension,
+        `native/audio_runtime.cpp`)."""
+        from ..native import float_to_pcm16, make_ring_buffer
+
+        ring = make_ring_buffer(ring_capacity)
+        done = threading.Event()
+        error: list = []
+
+        def producer():
+            try:
+                for chunk in self.pipeline.stream(
+                    desc_ids, desc_mask, prompt_ids, prompt_mask,
+                    play_steps=self.play_steps, seed=seed,
+                ):
+                    data = float_to_pcm16(np.ascontiguousarray(chunk[0]))
+                    off = 0
+                    while off < len(data) and not done.is_set():
+                        off += ring.push(data[off:])
+            except BaseException as e:
+                error.append(e)
+            finally:
+                done.set()
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+        try:
+            while not (done.is_set() and ring.size() == 0):
+                chunk = ring.pop(65536)
+                if chunk:
+                    yield chunk
+                elif not done.is_set():
+                    thread.join(timeout=0.005)
+            if error:
+                raise error[0]
+        finally:
+            done.set()

@@ -133,3 +133,18 @@ def test_voice_steering_prefix_respected(pipe):
     audio = rng.normal(size=(2, 6 * hop)).astype(np.float32) * 0.1
     enc = pipe.encode_voice_prompt(audio)
     assert enc.shape == (2, CFG.audio_encoder.num_codebooks, 6)
+
+
+def test_streamer_pcm_stream(pipe):
+    """PCM streaming through the native ring buffer matches stream() audio."""
+    from parler_tts_tpu.runtime.streamer import ParlerTTSStreamer
+
+    desc, dm, prompt, pm = _ids(seed=5, b=1)
+    chunks = list(pipe.stream(desc, dm, prompt, pm, play_steps=6, seed=7))
+    want = np.concatenate(chunks, axis=1)[0]
+    want_pcm = (np.clip(want, -1, 1) * 32767.0).astype(np.int16)
+
+    streamer = ParlerTTSStreamer(pipe, play_steps=6)
+    got = b"".join(streamer.pcm_stream(desc, dm, prompt, pm, seed=7))
+    got_pcm = np.frombuffer(got, dtype=np.int16)
+    np.testing.assert_array_equal(got_pcm, want_pcm)
