@@ -244,19 +244,43 @@ def generate_tokens(
     return GenerateOutput(delayed, codes, lengths, final.t)
 
 
-def make_generate(model: ParlerTTS, gen: GenerationConfig, cache_dtype=jnp.bfloat16):
-    """jit-wrapped `generate_tokens` (one compile per input-shape signature)."""
+def make_generate(model: ParlerTTS, gen: GenerationConfig, cache_dtype=jnp.bfloat16,
+                  mesh=None):
+    """jit-wrapped `generate_tokens` (one compile per input-shape signature).
 
-    @functools.partial(jax.jit, static_argnames=())
-    def fn(params, desc_ids, desc_mask, prompt_ids, prompt_mask, rng,
-           decoder_prompt_codes=None):
+    With `mesh`, batched serving shards the batch over the mesh's 'data' axis
+    (params replicated / 'model'-sharded per the partition rules) — the
+    multi-chip throughput path; XLA inserts any needed collectives.
+    """
+    if mesh is None:
+        @functools.partial(jax.jit, static_argnames=())
+        def fn(params, desc_ids, desc_mask, prompt_ids, prompt_mask, rng,
+               decoder_prompt_codes=None):
+            return generate_tokens(
+                model, gen, params, desc_ids, desc_mask, prompt_ids, prompt_mask,
+                rng, decoder_prompt_codes=decoder_prompt_codes,
+                cache_dtype=cache_dtype,
+            )
+
+        return fn
+
+    from ..parallel.mesh import batch_sharding, replicated
+
+    b_sh = batch_sharding(mesh)
+    r_sh = replicated(mesh)
+
+    @functools.partial(
+        jax.jit,
+        in_shardings=(None, b_sh, b_sh, b_sh, b_sh, r_sh),
+        out_shardings=None,
+    )
+    def fn_sharded(params, desc_ids, desc_mask, prompt_ids, prompt_mask, rng):
         return generate_tokens(
             model, gen, params, desc_ids, desc_mask, prompt_ids, prompt_mask,
-            rng, decoder_prompt_codes=decoder_prompt_codes,
-            cache_dtype=cache_dtype,
+            rng, cache_dtype=cache_dtype,
         )
 
-    return fn
+    return fn_sharded
 
 
 def generate_tokens_decoder_only(

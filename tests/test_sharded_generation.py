@@ -1,0 +1,64 @@
+"""Mesh-sharded batched generation on the virtual 8-device CPU mesh."""
+
+import jax
+import numpy as np
+
+from parler_tts_tpu.config import GenerationConfig
+from parler_tts_tpu.models.parler import ParlerTTS
+from parler_tts_tpu.parallel import make_mesh, shard_params
+from parler_tts_tpu.runtime.generate import make_generate
+from parler_tts_tpu.training import make_optimizer
+
+from test_training_step import init_state, tiny_config
+
+PAD, BOS = 88, 89
+
+
+def test_sharded_generation_matches_single_device():
+    assert len(jax.devices()) == 8
+    cfg = tiny_config()
+    model = ParlerTTS(cfg)
+    params = init_state(model, make_optimizer()).params
+    gen = GenerationConfig(
+        max_length=16, min_new_tokens=4, do_sample=False,
+        bos_token_id=BOS, pad_token_id=PAD, eos_token_id=PAD,
+    )
+    rng = np.random.default_rng(0)
+    b = 8  # one utterance per device
+    desc = rng.integers(0, 120, (b, 9)).astype(np.int32)
+    dm = np.ones((b, 9), np.int32)
+    prompt = rng.integers(0, 256, (b, 5)).astype(np.int32)
+    pm = np.ones((b, 5), np.int32)
+
+    single = make_generate(model, gen)(
+        params, desc, dm, prompt, pm, jax.random.key(0)
+    )
+
+    mesh = make_mesh(n_data=8, n_model=1)
+    sharded_params = shard_params(params, mesh)
+    out = make_generate(model, gen, mesh=mesh)(
+        sharded_params, desc, dm, prompt, pm, jax.random.key(0)
+    )
+    # batch really sharded over 'data'
+    assert len(out.codes.sharding.device_set) == 8
+    np.testing.assert_array_equal(np.asarray(out.delayed_ids), np.asarray(single.delayed_ids))
+
+
+def test_sharded_generation_with_model_parallel():
+    mesh = make_mesh(n_data=4, n_model=2)
+    cfg = tiny_config()
+    model = ParlerTTS(cfg)
+    params = shard_params(init_state(model, make_optimizer()).params, mesh)
+    gen = GenerationConfig(
+        max_length=12, do_sample=True, temperature=0.8,
+        bos_token_id=BOS, pad_token_id=PAD, eos_token_id=PAD,
+    )
+    rng = np.random.default_rng(1)
+    desc = rng.integers(0, 120, (4, 8)).astype(np.int32)
+    prompt = rng.integers(0, 256, (4, 4)).astype(np.int32)
+    out = make_generate(model, gen, mesh=mesh)(
+        params, desc, np.ones((4, 8), np.int32), prompt, np.ones((4, 4), np.int32),
+        jax.random.key(2),
+    )
+    assert out.codes.shape == (4, 4, 8)
+    assert np.isfinite(np.asarray(out.lengths)).all()
