@@ -284,6 +284,18 @@ class DecoderLayer(nn.Module):
     def cross_kv(self, encoder_hidden_states: jnp.ndarray):
         return self.encoder_attn.project_kv(encoder_hidden_states)
 
+    def train_forward(
+        self, x, self_attn_bias, cross_k, cross_v, cross_attn_bias, cos, sin,
+        mask_1d, deterministic: bool = True,
+    ):
+        """Positional-args adapter for `nn.remat` (training path, no cache)."""
+        out, _ = self(
+            x, self_attn_bias=self_attn_bias, cross_k=cross_k, cross_v=cross_v,
+            cross_attn_bias=cross_attn_bias, cos=cos, sin=sin, mask_1d=mask_1d,
+            deterministic=deterministic,
+        )
+        return out
+
     def __call__(
         self,
         x: jnp.ndarray,
@@ -332,6 +344,7 @@ class ParlerDecoder(nn.Module):
     use_flash_decode: bool = False
     use_chunked_attention: bool = False
     weight_quant: bool = False
+    remat_layers: bool = False  # per-layer rematerialization for long-T training
 
     def setup(self):
         cfg = self.config
@@ -342,8 +355,17 @@ class ParlerDecoder(nn.Module):
             (cfg.num_codebooks, cfg.embed_rows, cfg.hidden_size),
             jnp.float32,
         )
+        layer_cls = DecoderLayer
+        if self.remat_layers:
+            # checkpoint each layer's train_forward: activations are
+            # recomputed in the backward instead of stored — required to fit
+            # the 30s/2580-frame recipe in HBM (the fc1 activations alone are
+            # ~2GB otherwise and XLA spills catastrophically)
+            layer_cls = nn.remat(
+                DecoderLayer, static_argnums=(9,), methods=["train_forward"],
+            )
         self.layers = [
-            DecoderLayer(
+            layer_cls(
                 cfg, self.dtype, self.use_flash_decode,
                 self.use_chunked_attention, self.weight_quant, name=f"layers_{i}",
             )
@@ -411,21 +433,27 @@ class ParlerDecoder(nn.Module):
                 idx = None
             else:
                 cross_k_i = cross_v_i = idx = None
-            x, cache_kv = layer(
-                x,
-                self_attn_bias=self_attn_bias,
-                cross_k=cross_k_i,
-                cross_v=cross_v_i,
-                cross_attn_bias=cross_attn_bias,
-                cos=cos,
-                sin=sin,
-                cache_kv=cache_kv,
-                layer_idx=i,
-                cache_index=idx,
-                decode_lengths=decode_lengths,
-                mask_1d=mask_1d,
-                deterministic=deterministic,
-            )
+            if self.remat_layers and cache is None:
+                x = layer.train_forward(
+                    x, self_attn_bias, cross_k_i, cross_v_i, cross_attn_bias,
+                    cos, sin, mask_1d, deterministic,
+                )
+            else:
+                x, cache_kv = layer(
+                    x,
+                    self_attn_bias=self_attn_bias,
+                    cross_k=cross_k_i,
+                    cross_v=cross_v_i,
+                    cross_attn_bias=cross_attn_bias,
+                    cos=cos,
+                    sin=sin,
+                    cache_kv=cache_kv,
+                    layer_idx=i,
+                    cache_index=idx,
+                    decode_lengths=decode_lengths,
+                    mask_1d=mask_1d,
+                    deterministic=deterministic,
+                )
 
         x = self.layer_norm(x)
 
@@ -449,12 +477,14 @@ class ParlerForCausalLM(nn.Module):
     use_flash_decode: bool = False
     use_chunked_attention: bool = False
     weight_quant: bool = False
+    remat_layers: bool = False
 
     def setup(self):
         cfg = self.config
         self.decoder = ParlerDecoder(
             cfg, self.dtype, self.use_flash_decode,
-            self.use_chunked_attention, self.weight_quant, name="decoder",
+            self.use_chunked_attention, self.weight_quant, self.remat_layers,
+            name="decoder",
         )
         # (K, D, V) — applied as one fused einsum (TPU-native `use_fused_lm_heads`).
         # NB: heads stay bf16 even in weight_quant mode — their vocab axis

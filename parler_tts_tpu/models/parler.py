@@ -39,13 +39,15 @@ class ParlerTTS(nn.Module):
     use_flash_decode: bool = False
     use_chunked_attention: bool = False  # O(T*chunk)-memory training attention
     weight_quant: bool = False           # int8 weight-only serving mode
+    remat_layers: bool = False           # per-layer remat for long-T training
 
     def setup(self):
         cfg = self.config
         self.text_encoder = T5Encoder(cfg.text_encoder, self.dtype, name="text_encoder")
         self.decoder_lm = ParlerForCausalLM(
             cfg.decoder, self.dtype, self.use_flash_decode,
-            self.use_chunked_attention, self.weight_quant, name="decoder",
+            self.use_chunked_attention, self.weight_quant, self.remat_layers,
+            name="decoder",
         )
         # prompt embedding: (prompt_vocab, decoder_hidden) — modeling:2395
         self.embed_prompts = nn.Embed(

@@ -88,6 +88,35 @@ def params_shardings(params: Any, mesh: Mesh):
     return jax.tree_util.tree_map_with_path(spec_for, params)
 
 
+def fsdp_params_shardings(params: Any, mesh: Mesh):
+    """ZeRO-3/FSDP-style sharding: every large parameter is additionally
+    sharded over the 'data' axis (on a dimension not already taken by a
+    'model' rule). GSPMD inserts the all-gathers before use and
+    reduce-scatters on gradients — params AND optimizer moments then cost
+    1/n_data of the memory per chip, which is what makes the full-length
+    recipe fit (the reference relies on 80GB GPUs instead)."""
+    n_data = mesh.shape["data"]
+
+    def spec_for(path, leaf):
+        base = list(param_partition_spec(_path_str(path)))
+        while len(base) < leaf.ndim:
+            base.append(None)
+        if leaf.ndim >= 1 and leaf.size >= 2**13:
+            # shard the largest free, divisible dim over 'data'
+            order = sorted(range(leaf.ndim), key=lambda i: -leaf.shape[i])
+            for i in order:
+                if base[i] is None and leaf.shape[i] % n_data == 0:
+                    base[i] = "data"
+                    break
+        # drop model-axis shards that do not divide
+        for i, axis in enumerate(base):
+            if axis is not None and leaf.shape[i] % mesh.shape[axis] != 0:
+                base[i] = None
+        return NamedSharding(mesh, P(*base[: leaf.ndim]))
+
+    return jax.tree_util.tree_map_with_path(spec_for, params)
+
+
 def batch_sharding(mesh: Mesh):
     """Leading-axis data sharding for input batches."""
     return NamedSharding(mesh, P("data"))

@@ -139,9 +139,9 @@ def run_training(
     # the real recipe scale measured 53.7 s/step vs 127 ms/step chunked on v5e
     # (HBM thrashing) — a 420x difference, not a tuning detail.
     max_t = max(np.asarray(f["labels"]).shape[0] for f in train_features)
-    if not model.use_chunked_attention and max_t >= 512:
-        logger.info("enabling chunked attention for T=%d training", max_t)
-        model = model.clone(use_chunked_attention=True)
+    if max_t >= 512 and not (model.use_chunked_attention and model.remat_layers):
+        logger.info("enabling chunked attention + per-layer remat for T=%d", max_t)
+        model = model.clone(use_chunked_attention=True, remat_layers=True)
     mesh = make_mesh(
         n_data=training_args.mesh_data, n_model=training_args.mesh_model
     ) if jax.device_count() > 1 else None

@@ -56,6 +56,7 @@ def make_optimizer(
     weight_decay: float = 0.01,
     max_grad_norm: float = 1.0,
     freeze_text_encoder: bool = True,
+    mu_dtype=None,
 ) -> optax.GradientTransformation:
     """AdamW + clip + LR schedule (reference recipe run_parler_tts_training.py:744-758,
     defaults from helpers/training_configs/starting_point_v1.json)."""
@@ -86,7 +87,7 @@ def make_optimizer(
 
     tx = optax.chain(
         optax.clip_by_global_norm(max_grad_norm),
-        optax.adamw(lr, b1=b1, b2=b2, weight_decay=weight_decay),
+        optax.adamw(lr, b1=b1, b2=b2, weight_decay=weight_decay, mu_dtype=mu_dtype),
     )
     if freeze_text_encoder:
         def label_fn(params):
@@ -169,11 +170,17 @@ def make_train_step(
     )
 
 
-def state_shardings(state: TrainState, mesh) -> TrainState:
-    """Sharding tree for a TrainState: params follow the partition rules;
-    optimizer moments mirror their matching param's sharding (matched by
-    shape); scalar counters replicate."""
-    param_sh = params_shardings(state.params, mesh)
+def state_shardings(state: TrainState, mesh, fsdp: bool = False) -> TrainState:
+    """Sharding tree for a TrainState: params follow the partition rules
+    (plus FSDP 'data'-axis sharding when `fsdp`); optimizer moments mirror
+    their matching param's sharding (matched by shape); scalars replicate."""
+    from ..parallel.mesh import fsdp_params_shardings
+
+    param_sh = (
+        fsdp_params_shardings(state.params, mesh)
+        if fsdp
+        else params_shardings(state.params, mesh)
+    )
     r_sh = replicated(mesh)
     by_shape = {}
     for p, s in zip(jax.tree.leaves(state.params), jax.tree.leaves(param_sh)):
@@ -189,7 +196,7 @@ def state_shardings(state: TrainState, mesh) -> TrainState:
     )
 
 
-def shard_train_state(state: TrainState, mesh) -> TrainState:
+def shard_train_state(state: TrainState, mesh, fsdp: bool = False) -> TrainState:
     """Place a TrainState onto the mesh."""
-    sh = state_shardings(state, mesh)
+    sh = state_shardings(state, mesh, fsdp=fsdp)
     return jax.tree.map(lambda x, s: jax.device_put(x, s), state, sh)

@@ -155,3 +155,31 @@ def test_param_sharding_actually_shards():
     # fc1 (64, 128) sharded over model axis on dim 1 -> shard shape (64, 64)
     shard_shapes = {s.data.shape for s in fc1.addressable_shards}
     assert shard_shapes == {(64, 64)}
+
+
+def test_fsdp_sharded_train_step_matches_single_device():
+    """FSDP param+moment sharding over 'data' (ZeRO-3 via GSPMD) reproduces the
+    unsharded loss trajectory and actually shards large params."""
+    mesh = make_mesh(n_model=1)
+    model = ParlerTTS(tiny_config())
+    tx = make_optimizer(learning_rate=1e-3, warmup_steps=2, freeze_text_encoder=False)
+
+    state1 = init_state(model, tx, seed=7)
+    step1 = make_train_step(model, tx)
+
+    state2 = shard_train_state(init_state(model, tx, seed=7), mesh, fsdp=True)
+    step2 = make_train_step(model, tx, mesh=mesh)
+
+    # fc1 kernel (64, 128): a free divisible dim sharded 8-way over data
+    fc1 = state2.params["decoder"]["decoder"]["layers_0"]["fc1"]["kernel"]
+    assert {s.data.shape for s in fc1.addressable_shards} == {(8, 128)}  # dim0 sharded 8-way
+
+    batch = make_batch(b=8, seed=8)
+    rng = jax.random.key(9)
+    for i in range(2):
+        rng, r = jax.random.split(rng)
+        state1, m1 = step1(state1, batch, r)
+        state2, m2 = step2(state2, batch, r)
+        np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=2e-4)
+    for a, b in zip(jax.tree.leaves(state1.params), jax.tree.leaves(state2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)
