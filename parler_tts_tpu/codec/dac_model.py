@@ -21,7 +21,7 @@ rates (2, 4, 8, 8), decoder_dim 1536 with rates (8, 8, 4, 2), 9 codebooks of
 from __future__ import annotations
 
 import math
-from typing import Optional, Tuple
+from typing import Tuple
 
 import flax.linen as nn
 import jax

@@ -6,11 +6,9 @@ fallback so the package works even without a toolchain.
 """
 
 from __future__ import annotations
-
 import os
 import subprocess
 import sysconfig
-from typing import Optional
 
 import numpy as np
 

@@ -14,13 +14,13 @@ is an optax.multi_transform routing frozen subtrees to `set_to_zero`.
 
 from __future__ import annotations
 
-from typing import Any, Callable, NamedTuple, Optional, Tuple
+from typing import Any, Callable, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
 import optax
 from flax import struct
-from jax.sharding import NamedSharding, PartitionSpec as P
+from jax.sharding import PartitionSpec as P  # noqa: F401 (P used in annotations)
 
 from ..config import ParlerTTSConfig
 from ..models.parler import ParlerTTS
