@@ -148,3 +148,13 @@ def test_streamer_pcm_stream(pipe):
     got = b"".join(streamer.pcm_stream(desc, dm, prompt, pm, seed=7))
     got_pcm = np.frombuffer(got, dtype=np.int16)
     np.testing.assert_array_equal(got_pcm, want_pcm)
+
+
+def test_empty_prompt_generation(pipe):
+    """Zero-length prompts (unconditional speech) run through the same program."""
+    desc, dm, _, _ = _ids(seed=8)
+    prompt = np.zeros((2, 0), np.int32)
+    pm = np.zeros((2, 0), np.int32)
+    out = pipe.generate_codes(desc, dm, prompt, pm, seed=1)
+    assert out.codes.shape == (2, 4, GEN.max_length - 4)
+    assert int(out.steps) >= 2
