@@ -126,6 +126,8 @@ def _layernorm(x, scale, bias):
 
 def _make_kernel(config: DecoderConfig, s_cache: int, s_enc: int, block_s: int,
                  act: str):
+    import os
+    _bisect = os.environ.get("FUSED_BISECT", "full")  # perf-bisect hook (tests/bench only)
     d, h, dh = config.hidden_size, config.num_attention_heads, config.head_dim
     f = config.ffn_dim
     inv_sqrt_dh = float(dh) ** -0.5
@@ -171,24 +173,39 @@ def _make_kernel(config: DecoderConfig, s_cache: int, s_enc: int, block_s: int,
         def _():
             x_scr[...] = x_ref[...].astype(jnp.float32)
 
-        # start ALL weight DMAs up front; fc1/fc2 fly during attention compute
-        cp_attn = pltpu.make_async_copy(wattn_hbm.at[layer], wattn_scr, dsem.at[0])
+        # Weight pipeline: attention weights double-buffer ACROSS layers (the
+        # next layer's 6MB block is prefetched during this layer's compute);
+        # fc1/fc2 start at layer entry and fly during the attention section.
+        buf = layer % 2
+        attn_dma = lambda i, slot: pltpu.make_async_copy(  # noqa: E731
+            wattn_hbm.at[i], wattn_scr.at[slot], dsem.at[slot]
+        )
+
+        @pl.when(layer == 0)
+        def _():
+            attn_dma(0, 0).start()
+
         cp_fc1 = pltpu.make_async_copy(wfc1_hbm.at[layer], fc1_scr, dsem.at[3])
         cp_fc2 = pltpu.make_async_copy(wfc2_hbm.at[layer], fc2_scr, dsem.at[4])
-        cp_attn.start()
         cp_fc1.start()
         cp_fc2.start()
 
         s_attn = sattn_ref[0]  # (1, 6D)
 
         def proj(hbf, col0, ncols, scale_slice):
-            w = wattn_scr[:, col0:col0 + ncols].astype(jnp.bfloat16)
+            w = wattn_scr[buf, :, col0:col0 + ncols].astype(jnp.bfloat16)
             y = jnp.dot(hbf, w, preferred_element_type=jnp.float32)
             return y * scale_slice
 
         # ---------------- self attention
         h1 = _layernorm(x_scr[...], ln1s_ref[0], ln1b_ref[0]).astype(jnp.bfloat16)
-        cp_attn.wait()
+        attn_dma(layer, buf).wait()
+
+        # current block secured -> immediately prefetch the NEXT layer's block
+        @pl.when(layer + 1 < n_layers)
+        def _():
+            attn_dma(layer + 1, 1 - buf).start()
+
         qkv = proj(h1, 0, 3 * d, s_attn[:, 0:3 * d])           # (1, 3D) fp32
         q = (qkv[:, 0:d] * inv_sqrt_dh).astype(jnp.bfloat16)
         knew = qkv[:, d:2 * d].astype(jnp.bfloat16)
@@ -239,7 +256,10 @@ def _make_kernel(config: DecoderConfig, s_cache: int, s_enc: int, block_s: int,
             jnp.zeros((h,), jnp.float32),
             jnp.zeros((d,), jnp.float32),
         )
-        m_run, l_run, acc = jax.lax.fori_loop(0, n_blk, blk_body, init)
+        if _bisect in ("no_selfattn_loop", "weights_only"):
+            m_run, l_run, acc = init
+        else:
+            m_run, l_run, acc = jax.lax.fori_loop(0, n_blk, blk_body, init)
 
         # current token's contribution (its k/v are not in the cache yet)
         s_cur = head_scores(knew, q)[0]  # (H,)
@@ -260,6 +280,21 @@ def _make_kernel(config: DecoderConfig, s_cache: int, s_enc: int, block_s: int,
         x_scr[...] = x_scr[...] + proj(attn, 3 * d, d, s_attn[:, 3 * d:4 * d])
 
         # ---------------- cross attention
+        if _bisect in ("no_cross", "weights_only"):
+            cp_fc1.wait()
+            cp_fc2.wait()
+            x_scr[...] = x_scr[...] + 0.0
+            mid_dummy = jnp.dot(
+                _layernorm(x_scr[...], ln3s_ref[0], ln3b_ref[0]).astype(jnp.bfloat16),
+                fc1_scr[...].astype(jnp.bfloat16), preferred_element_type=jnp.float32)
+            x_scr[...] = x_scr[...] + jnp.dot(
+                jnp.tanh(mid_dummy).astype(jnp.bfloat16),
+                fc2_scr[...].astype(jnp.bfloat16), preferred_element_type=jnp.float32) * 0.0
+
+            @pl.when(layer == n_layers - 1)
+            def _():
+                hidden_ref[...] = x_scr[...].astype(hidden_ref.dtype)
+            return
         h2 = _layernorm(x_scr[...], ln2s_ref[0], ln2b_ref[0]).astype(jnp.bfloat16)
         qc = (proj(h2, 4 * d, d, s_attn[:, 4 * d:5 * d]) * inv_sqrt_dh).astype(jnp.bfloat16)
         ck = crossk_ref[0]  # (S_enc, D)
@@ -277,6 +312,14 @@ def _make_kernel(config: DecoderConfig, s_cache: int, s_enc: int, block_s: int,
         x_scr[...] = x_scr[...] + proj(attn_c, 5 * d, d, s_attn[:, 5 * d:6 * d])
 
         # ---------------- MLP (fc DMAs started at layer entry; overlap done)
+        if _bisect == "no_mlp":
+            cp_fc1.wait()
+            cp_fc2.wait()
+
+            @pl.when(layer == n_layers - 1)
+            def _():
+                hidden_ref[...] = x_scr[...].astype(hidden_ref.dtype)
+            return
         h3 = _layernorm(x_scr[...], ln3s_ref[0], ln3b_ref[0]).astype(jnp.bfloat16)
         cp_fc1.wait()
         mid = jnp.dot(h3, fc1_scr[...].astype(jnp.bfloat16),
@@ -362,7 +405,7 @@ def fused_decode_layers(
         ],
         scratch_shapes=[
             pltpu.VMEM((1, d), jnp.float32),
-            pltpu.VMEM((d, 6 * d), jnp.int8),
+            pltpu.VMEM((2, d, 6 * d), jnp.int8),
             pltpu.VMEM((d, f), jnp.int8),
             pltpu.VMEM((f, d), jnp.int8),
             pltpu.VMEM((1, f), jnp.float32),
@@ -382,9 +425,9 @@ def fused_decode_layers(
             jax.ShapeDtypeStruct((L, 1, d), jnp.bfloat16),
         ],
         compiler_params=pltpu.CompilerParams(
-            # the 6MB attn + 4+4MB fc staging buffers exceed the 16MB default
-            # scoped-vmem cap by ~0.3MB; v5e has headroom above the default
-            vmem_limit_bytes=32 * 1024 * 1024,
+            # double-buffered 2x6MB attn + 4+4MB fc staging exceeds the 16MB
+            # default scoped-vmem cap; v5e has headroom above the default
+            vmem_limit_bytes=48 * 1024 * 1024,
         ),
         interpret=interpret,
     )
