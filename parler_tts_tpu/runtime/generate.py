@@ -400,7 +400,8 @@ def make_stream_functions(model: ParlerTTS, gen: GenerationConfig, cache_dtype=j
     k_cb, max_len = dcfg.num_codebooks, gen.max_length
 
     @jax.jit
-    def prefill_fn(params, desc_ids, desc_mask, prompt_ids, prompt_mask, rng):
+    def prefill_fn(params, desc_ids, desc_mask, prompt_ids, prompt_mask, rng,
+                   decoder_prompt_codes=None):
         b = desc_ids.shape[0]
         variables = {"params": params}
         if desc_mask is None:
@@ -425,6 +426,10 @@ def make_stream_functions(model: ParlerTTS, gen: GenerationConfig, cache_dtype=j
             prefix_mask = prompt_mask.astype(jnp.int32)
 
         start = jnp.full((b, k_cb, 1), gen.bos_token_id, jnp.int32)
+        if decoder_prompt_codes is not None:  # voice steering
+            start = jnp.concatenate(
+                [start, decoder_prompt_codes.astype(jnp.int32)], axis=-1
+            )
         first_ids, pattern = build_delay_pattern_mask(
             start, gen.bos_token_id, gen.pad_token_id, max_len
         )
@@ -439,11 +444,12 @@ def make_stream_functions(model: ParlerTTS, gen: GenerationConfig, cache_dtype=j
             [prefix_mask.astype(bool), jnp.ones((b, max_len), bool)], axis=1
         )
 
+        s0 = first_ids.shape[-1]
         emb0 = model.apply(variables, first_ids, method=lambda m, x: m.decoder_lm.embed_ids(x))
         pre_embeds = jnp.concatenate([prefix.astype(emb0.dtype), emb0], axis=1)
-        abs_pos = jnp.broadcast_to(jnp.arange(s_p + 1), (b, s_p + 1))
+        abs_pos = jnp.broadcast_to(jnp.arange(s_p + s0), (b, s_p + s0))
         bias = causal_self_attention_bias(abs_pos, kv_valid)
-        cross_bias = padding_cross_attention_bias(enc_mask, s_p + 1)
+        cross_bias = padding_cross_attention_bias(enc_mask, s_p + s0)
         logits_pre, cache = model.apply(
             variables, pre_embeds, abs_pos,
             self_attn_bias=bias, cross_attn_bias=cross_bias, cache=cache,
@@ -452,11 +458,12 @@ def make_stream_functions(model: ParlerTTS, gen: GenerationConfig, cache_dtype=j
         rng, r1 = jax.random.split(rng)
         eos_state = init_eos_state(b, k_cb)
         col1, eos_state = _sample_column(
-            logits_pre[:, :, -1, :], jnp.int32(1), eos_state, pattern, r1, gen, k_cb
+            logits_pre[:, :, -1, :], jnp.int32(s0), eos_state, pattern, r1, gen,
+            k_cb, prompt_cols=s0,
         )
-        out_ids = out_ids.at[:, :, 1].set(col1)
+        out_ids = jax.lax.dynamic_update_slice(out_ids, col1[:, :, None], (0, 0, s0))
         return StreamState(
-            out_ids, cache, eos_state, rng, jnp.int32(2), pattern, kv_valid,
+            out_ids, cache, eos_state, rng, jnp.int32(s0 + 1), pattern, kv_valid,
             enc_mask, jnp.int32(s_p),
         )
 

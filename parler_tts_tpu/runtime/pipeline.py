@@ -367,6 +367,7 @@ class ParlerTTSPipeline:
         prompt_mask: Optional[np.ndarray],
         play_steps: int = 86,
         seed: int = 0,
+        decoder_prompt_codes: Optional[np.ndarray] = None,
     ):
         """Yield waveform chunks as generation progresses.
 
@@ -391,6 +392,9 @@ class ParlerTTSPipeline:
             jnp.asarray(prompt_ids),
             jnp.asarray(prompt_mask) if prompt_mask is not None else None,
             jax.random.key(seed),
+            jnp.asarray(decoder_prompt_codes)
+            if decoder_prompt_codes is not None
+            else None,
         )
         max_len = self.generation_config.max_length
         to_yield = 0

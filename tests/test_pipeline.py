@@ -93,6 +93,36 @@ def test_stream_tokens_match_offline(pipe):
     )
 
 
+def test_stream_voice_steering_matches_offline(pipe):
+    """Streaming prefill accepts decoder_prompt_codes (voice steering): tokens
+    must match the offline while_loop path given the same audio prompt."""
+    import jax
+    import jax.numpy as jnp
+
+    from parler_tts_tpu.runtime.generate import make_stream_functions
+
+    desc, dm, prompt, pm = _ids(seed=5, b=1)
+    rng = np.random.default_rng(9)
+    voice = rng.integers(0, PAD, size=(1, 4, 3)).astype(np.int32)
+
+    off = pipe.generate_codes(desc, dm, prompt, pm, seed=13,
+                              decoder_prompt_codes=voice)
+
+    prefill_fn, step_fn = make_stream_functions(pipe.model, pipe.generation_config)
+    state = prefill_fn(
+        pipe.params, jnp.asarray(desc), jnp.asarray(dm),
+        jnp.asarray(prompt), jnp.asarray(pm), jax.random.key(13),
+        jnp.asarray(voice),
+    )
+    assert int(state.t) == 1 + voice.shape[-1] + 1  # BOS + prompt cols + 1 sampled
+    while int(state.t) < GEN.max_length and not bool(jnp.all(state.eos.eos_seen)):
+        state = step_fn(pipe.params, state, 6)
+
+    np.testing.assert_array_equal(
+        np.asarray(state.out_ids), np.asarray(off.delayed_ids)
+    )
+
+
 def test_stream_chunks_smoke(pipe):
     desc, dm, prompt, pm = _ids(seed=3, b=1)
     chunks = list(pipe.stream(desc, dm, prompt, pm, play_steps=6, seed=11))
