@@ -51,6 +51,7 @@ class EncodecCodecConfig:
     trim_right_ratio: float = 1.0
     pad_mode: str = "reflect"
     compress: int = 2
+    codec_type: str = "encodec"  # registry discriminator (codec/registry.py)
 
     @property
     def hop_length(self) -> int:

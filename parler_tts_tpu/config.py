@@ -66,6 +66,7 @@ class DACConfig:
     encoder_rates: Tuple[int, ...] = (2, 4, 8, 8)
     decoder_dim: int = 1536
     decoder_rates: Tuple[int, ...] = (8, 8, 4, 2)
+    codec_type: str = "dac"  # registry discriminator (codec/registry.py)
 
     @property
     def hop_length(self) -> int:
@@ -153,14 +154,20 @@ class ParlerTTSConfig:
     @classmethod
     def from_json(cls, text: str) -> "ParlerTTSConfig":
         raw = json.loads(text)
+        ae_raw = {
+            k: tuple(v) if isinstance(v, list) else v
+            for k, v in raw["audio_encoder"].items()
+        }
+        if ae_raw.get("codec_type", "dac") == "encodec":
+            # lazy import: codec modules import this module
+            from .codec.encodec_model import EncodecCodecConfig
+
+            audio_encoder = EncodecCodecConfig(**ae_raw)
+        else:
+            audio_encoder = DACConfig(**ae_raw)
         return cls(
             text_encoder=T5Config(**raw["text_encoder"]),
-            audio_encoder=DACConfig(
-                **{
-                    k: tuple(v) if isinstance(v, list) else v
-                    for k, v in raw["audio_encoder"].items()
-                }
-            ),
+            audio_encoder=audio_encoder,
             decoder=DecoderConfig(
                 **{
                     k: tuple(v) if isinstance(v, list) else v

@@ -22,8 +22,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..codec.convert import convert_dac_params
 from ..codec.dac_model import DACModel
+from ..codec.registry import (
+    build_codec,
+    codec_channels,
+    convert_codec_params,
+    init_codec_params,
+)
 from ..config import (
     DACConfig,
     DecoderConfig,
@@ -44,6 +49,54 @@ def load_hf_config(path: str) -> ParlerTTSConfig:
     with open(os.path.join(path, "config.json")) as f:
         raw = json.load(f)
     te, ae, de = raw["text_encoder"], raw["audio_encoder"], raw["decoder"]
+    if ae.get("model_type") == "encodec":
+        from ..codec.encodec_model import EncodecCodecConfig
+
+        # HF derives the quantizer count from the top target bandwidth
+        # (transformers EncodecConfig.num_quantizers)
+        up = tuple(ae.get("upsampling_ratios", (8, 5, 4, 4)))
+        hop = int(np.prod(up))
+        fr = -(-ae.get("sampling_rate", 32000) // hop)  # ceil
+        if "num_codebooks" in ae:
+            n_q = ae["num_codebooks"]
+        elif ae.get("target_bandwidths"):
+            n_q = int(1000 * ae["target_bandwidths"][-1] // (fr * 10))
+        else:
+            n_q = de.get("num_codebooks", 4)
+        audio_encoder = EncodecCodecConfig(
+            sampling_rate=ae.get("sampling_rate", 32000),
+            audio_channels=ae.get("audio_channels", 1),
+            num_filters=ae.get("num_filters", 64),
+            hidden_size=ae.get("hidden_size", 128),
+            num_residual_layers=ae.get("num_residual_layers", 1),
+            upsampling_ratios=up,
+            codebook_size=ae.get("codebook_size", 2048),
+            codebook_dim=ae.get("codebook_dim", ae.get("hidden_size", 128)),
+            num_codebooks=n_q,
+            num_lstm_layers=ae.get("num_lstm_layers", 2),
+            kernel_size=ae.get("kernel_size", 7),
+            last_kernel_size=ae.get("last_kernel_size", 7),
+            residual_kernel_size=ae.get("residual_kernel_size", 3),
+            dilation_growth_rate=ae.get("dilation_growth_rate", 2),
+            use_causal_conv=ae.get("use_causal_conv", True),
+            trim_right_ratio=ae.get("trim_right_ratio", 1.0),
+            pad_mode=ae.get("pad_mode", "reflect"),
+            compress=ae.get("compress", 2),
+        )
+    else:
+        mt = ae.get("model_type")
+        if mt not in (None, "dac", "dac_on_the_hub"):
+            raise ValueError(
+                f"unsupported audio_encoder model_type {mt!r}; "
+                "supported codecs: dac_on_the_hub, encodec"
+            )
+        audio_encoder = DACConfig(
+            num_codebooks=ae.get("num_codebooks", 9),
+            codebook_size=ae.get("codebook_size", 1024),
+            latent_dim=ae.get("latent_dim", 1024),
+            frame_rate=int(ae.get("frame_rate", 86)),
+            sampling_rate=ae.get("sampling_rate", 44100),
+        )
     return ParlerTTSConfig(
         text_encoder=T5Config(
             vocab_size=te["vocab_size"],
@@ -57,13 +110,7 @@ def load_hf_config(path: str) -> ParlerTTSConfig:
             feed_forward_proj=te.get("feed_forward_proj", "gated-gelu"),
             dropout_rate=te.get("dropout_rate", 0.1),
         ),
-        audio_encoder=DACConfig(
-            num_codebooks=ae.get("num_codebooks", 9),
-            codebook_size=ae.get("codebook_size", 1024),
-            latent_dim=ae.get("latent_dim", 1024),
-            frame_rate=int(ae.get("frame_rate", 86)),
-            sampling_rate=ae.get("sampling_rate", 44100),
-        ),
+        audio_encoder=audio_encoder,
         decoder=DecoderConfig(
             vocab_size=de["vocab_size"],
             max_position_embeddings=de.get("max_position_embeddings", 4096),
@@ -190,18 +237,15 @@ class ParlerTTSPipeline:
                 with open(dac_path, "rb") as f:
                     dac_params = pickle.load(f)
             else:
-                dac = DACModel(cfg.audio_encoder)
-                dac_params = dac.init(
+                dac_params = init_codec_params(
+                    build_codec(cfg.audio_encoder), cfg.audio_encoder,
                     jax.random.key(0),
-                    jnp.zeros((1, cfg.audio_encoder.hop_length, 1), jnp.float32),
-                )["params"]
+                )
         else:
             cfg = load_hf_config(path)
             tensors = load_safetensors_dir(path)
             params = convert_composite_params(tensors, cfg)
-            dac_params = convert_dac_params(
-                tensors, cfg.audio_encoder, prefix="audio_encoder.model."
-            )
+            dac_params = convert_codec_params(tensors, cfg.audio_encoder)
         gen_path = os.path.join(path, "generation_config.json")
         if generation_config is None and os.path.exists(gen_path):
             with open(gen_path) as f:
@@ -211,7 +255,7 @@ class ParlerTTSPipeline:
                 **{k: v for k, v in raw.items() if k in fields}
             )
         model = ParlerTTS(cfg)
-        dac = DACModel(cfg.audio_encoder)
+        dac = build_codec(cfg.audio_encoder)
         if tokenizer is None:
             try:
                 from transformers import AutoTokenizer
@@ -254,12 +298,10 @@ class ParlerTTSPipeline:
             jnp.zeros((1, 3), jnp.int32), jnp.ones((1, 3), jnp.int32),
             jnp.zeros((1, 2, config.decoder.num_codebooks), jnp.int32),
         )["params"]
-        dac = DACModel(config.audio_encoder)
+        dac = build_codec(config.audio_encoder)
         # full roundtrip init so both encode (voice steering, training stage 1)
         # and decode paths have params
-        dac_params = dac.init(
-            k2, jnp.zeros((1, config.audio_encoder.hop_length, 1), jnp.float32),
-        )["params"]
+        dac_params = init_codec_params(dac, config.audio_encoder, k2)
         return cls(model, params, dac, dac_params, generation_config, **kw)
 
     # -------------------------------------------------------------- tokenizing
@@ -310,10 +352,13 @@ class ParlerTTSPipeline:
         audio = np.asarray(audio, np.float32)
         if audio.ndim == 1:
             audio = audio[None]
+        ch = codec_channels(self.config.audio_encoder)
+        if audio.ndim == 2:  # (B, T) mono input: replicate across codec channels
+            audio = np.repeat(audio[:, :, None], ch, axis=2)
         hop = self.config.audio_encoder.hop_length
-        t_pad = ((audio.shape[-1] + hop - 1) // hop) * hop
-        padded = np.zeros((audio.shape[0], t_pad, 1), np.float32)
-        padded[:, : audio.shape[-1], 0] = audio
+        t_pad = ((audio.shape[1] + hop - 1) // hop) * hop
+        padded = np.zeros((audio.shape[0], t_pad, ch), np.float32)
+        padded[:, : audio.shape[1]] = audio
         encode = jax.jit(
             lambda p, a: self.dac.apply({"params": p}, a, method="encode")
         )
@@ -330,8 +375,14 @@ class ParlerTTSPipeline:
         # invalid tail tokens would index OOB into codebooks; clamp to 0 (those
         # samples are trimmed by `lengths` anyway)
         sliced = jnp.clip(codes[:, :, :bucket], 0, self.config.audio_encoder.codebook_size - 1)
-        audio = self._decode_fn_for(bucket)(self.dac_params, sliced)  # (B, T*hop, 1)
-        return np.asarray(audio[:, :, 0]), np.asarray(lengths) * hop
+        audio = self._decode_fn_for(bucket)(self.dac_params, sliced)  # (B, T*hop, C)
+        if audio.shape[-1] == 1:
+            return np.asarray(audio[:, :, 0]), np.asarray(lengths) * hop
+        # stereo codecs: interleave channels, PCM-style (samples = frames*hop*C —
+        # the reference flattens stereo the same way, modeling:2839-2842)
+        b = audio.shape[0]
+        flat = np.asarray(audio).reshape(b, -1)
+        return flat, np.asarray(lengths) * hop * audio.shape[-1]
 
     def generate(
         self,

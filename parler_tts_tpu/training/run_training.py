@@ -23,13 +23,13 @@ import logging
 import math
 import os
 import time
-from typing import Iterator, List, Optional
+from typing import Any, Iterator, List, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..codec.dac_model import DACModel
+from ..codec.registry import build_codec
 from ..config import GenerationConfig, ParlerTTSConfig
 from ..models.parler import ParlerTTS
 from ..ops.delay_pattern import build_delay_pattern_mask
@@ -66,7 +66,7 @@ def build_labels_from_codes(
 
 
 def encode_corpus_stage(
-    dac: DACModel,
+    dac: Any,
     dac_params,
     audio_batches: Iterator[dict],
     bos_token_id: int,
@@ -127,7 +127,7 @@ def run_training(
     params,
     train_features: List[dict],
     eval_features: Optional[List[dict]] = None,
-    dac: Optional[DACModel] = None,
+    dac: Optional[Any] = None,
     dac_params=None,
     tokenizers=None,
 ):
@@ -306,9 +306,7 @@ def main(argv=None):
         ds = ds.select(range(data_args.max_train_samples))
 
     # ---- stage 1: offline codec tokenization (resumable)
-    from ..codec.dac_model import DACModel
-
-    dac = DACModel(cfg.audio_encoder)
+    dac = build_codec(cfg.audio_encoder)
     dac_params = pipe.dac_params if pipe is not None else None
     if dac_params is None:
         raise SystemExit("codec params required: load from a full checkpoint")

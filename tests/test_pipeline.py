@@ -188,3 +188,70 @@ def test_empty_prompt_generation(pipe):
     out = pipe.generate_codes(desc, dm, prompt, pm, seed=1)
     assert out.codes.shape == (2, 4, GEN.max_length - 4)
     assert int(out.steps) >= 2
+
+
+def test_encodec_composite_pipeline(tmp_path):
+    """Codec registry: a composite with an Encodec audio encoder works through
+    the full pipeline — generate, stream, native save/load roundtrip (reference
+    supports this pairing via init_dummy_model_with_encodec.py)."""
+    from parler_tts_tpu.codec.encodec_model import EncodecCodecConfig
+
+    enc_cfg = EncodecCodecConfig(
+        sampling_rate=16000, audio_channels=1, num_filters=8, hidden_size=16,
+        num_residual_layers=1, upsampling_ratios=(4, 4), codebook_size=PAD,
+        codebook_dim=16, num_codebooks=4, num_lstm_layers=1,
+    )
+    cfg = CFG.__class__(
+        text_encoder=CFG.text_encoder, audio_encoder=enc_cfg, decoder=CFG.decoder,
+        vocab_size=CFG.vocab_size, pad_token_id=PAD, decoder_start_token_id=BOS,
+    )
+    pipe = ParlerTTSPipeline.from_random(cfg, seed=0, generation_config=GEN, frame_bucket=8)
+    desc, dm, prompt, pm = _ids(seed=8, b=1)
+
+    audio, lengths = pipe.generate(desc, prompt, desc_mask=dm, prompt_mask=pm, seed=1)
+    hop = enc_cfg.hop_length
+    assert audio.shape[0] == 1 and audio.shape[1] % hop == 0
+    assert np.isfinite(audio).all() and (lengths % hop == 0).all()
+
+    chunks = list(pipe.stream(desc, dm, prompt, pm, play_steps=6, seed=1))
+    assert len(chunks) >= 1 and np.isfinite(np.concatenate(chunks, axis=1)).all()
+
+    # voice steering through the Encodec encode path
+    codes = pipe.encode_voice_prompt(np.zeros(hop * 3, np.float32))
+    assert codes.shape == (1, 4, 3)
+
+    # native checkpoint roundtrip exercises config from_json's codec_type branch
+    pipe.save_pretrained(str(tmp_path))
+    pipe2 = ParlerTTSPipeline.from_pretrained(str(tmp_path), generation_config=GEN,
+                                              frame_bucket=8)
+    assert type(pipe2.config.audio_encoder).__name__ == "EncodecCodecConfig"
+    audio2, _ = pipe2.generate(desc, prompt, desc_mask=dm, prompt_mask=pm, seed=1)
+    np.testing.assert_allclose(audio2, audio, atol=1e-5)
+
+
+def test_load_hf_config_encodec_branch(tmp_path):
+    """HF config.json with audio_encoder.model_type == 'encodec' parses into an
+    EncodecCodecConfig, deriving the quantizer count from target_bandwidths
+    like transformers EncodecConfig.num_quantizers."""
+    import json
+
+    from parler_tts_tpu.runtime.pipeline import load_hf_config
+
+    raw = {
+        "text_encoder": {"vocab_size": 120, "d_model": 48, "d_kv": 12, "d_ff": 96,
+                         "num_layers": 2, "num_heads": 4},
+        "audio_encoder": {"model_type": "encodec", "sampling_rate": 32000,
+                          "upsampling_ratios": [8, 5, 4, 4],
+                          "target_bandwidths": [2.2], "codebook_size": 1024},
+        "decoder": {"vocab_size": 1088, "hidden_size": 64, "num_hidden_layers": 2,
+                    "num_attention_heads": 4, "ffn_dim": 128, "num_codebooks": 9},
+        "vocab_size": 120,
+    }
+    (tmp_path / "config.json").write_text(json.dumps(raw))
+    cfg = load_hf_config(str(tmp_path))
+    ae = cfg.audio_encoder
+    assert type(ae).__name__ == "EncodecCodecConfig"
+    assert ae.hop_length == 8 * 5 * 4 * 4
+    assert ae.frame_rate == 50  # ceil(32000/640)
+    assert ae.num_codebooks == 4  # 1000*2.2 // (50*10)
+    assert ae.codebook_size == 1024
