@@ -200,6 +200,10 @@ class GenerationConfig:
     # checkpoints essentially never emit out-of-codebook ids; this makes that a
     # hard guarantee (and makes random-weight benches behave like trained ones).
     codebook_guard: Optional[int] = None
+    # samples per input row; expanded by repeating inputs at the pipeline
+    # boundary (HF GenerationMixin._expand_inputs_for_generation semantics —
+    # sampling only, greedy raises like the reference)
+    num_return_sequences: int = 1
 
 
 def dummy_decoder_config(**overrides: Any) -> DecoderConfig:

@@ -332,6 +332,17 @@ class ParlerTTSPipeline:
         seed: int = 0,
         decoder_prompt_codes: Optional[np.ndarray] = None,
     ):
+        n = self.generation_config.num_return_sequences
+        if n > 1:
+            if not self.generation_config.do_sample:
+                raise ValueError(
+                    "num_return_sequences > 1 requires do_sample=True "
+                    "(greedy search returns one sequence per input)"
+                )
+            rep = lambda x: None if x is None else np.repeat(np.asarray(x), n, axis=0)
+            desc_ids, desc_mask = rep(desc_ids), rep(desc_mask)
+            prompt_ids, prompt_mask = rep(prompt_ids), rep(prompt_mask)
+            decoder_prompt_codes = rep(decoder_prompt_codes)
         out = self._generate_fn(
             self.params,
             jnp.asarray(desc_ids),

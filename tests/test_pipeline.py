@@ -255,3 +255,33 @@ def test_load_hf_config_encodec_branch(tmp_path):
     assert ae.frame_rate == 50  # ceil(32000/640)
     assert ae.num_codebooks == 4  # 1000*2.2 // (50*10)
     assert ae.codebook_size == 1024
+
+
+def test_num_return_sequences(pipe):
+    """num_return_sequences expands rows at the pipeline boundary; sampled
+    sequences per input differ; greedy raises (reference/HF semantics)."""
+    from parler_tts_tpu.config import GenerationConfig
+
+    desc, dm, prompt, pm = _ids(seed=10, b=2)
+    gen = GenerationConfig(
+        max_length=16, min_new_tokens=4, do_sample=True, temperature=1.0,
+        bos_token_id=BOS, pad_token_id=PAD, eos_token_id=PAD,
+        num_return_sequences=2,
+    )
+    pipe_n = ParlerTTSPipeline(pipe.model, pipe.params, pipe.dac, pipe.dac_params,
+                               generation_config=gen, frame_bucket=8)
+    out = pipe_n.generate_codes(desc, dm, prompt, pm, seed=4)
+    codes = np.asarray(out.codes)
+    assert codes.shape[0] == 4  # 2 inputs x 2 return sequences
+    # the two samples of the same input row must differ
+    assert not np.array_equal(codes[0], codes[1])
+    assert not np.array_equal(codes[2], codes[3])
+
+    greedy = GenerationConfig(
+        max_length=16, do_sample=False, bos_token_id=BOS, pad_token_id=PAD,
+        eos_token_id=PAD, num_return_sequences=2,
+    )
+    pipe_g = ParlerTTSPipeline(pipe.model, pipe.params, pipe.dac, pipe.dac_params,
+                               generation_config=greedy, frame_bucket=8)
+    with pytest.raises(ValueError, match="num_return_sequences"):
+        pipe_g.generate_codes(desc, dm, prompt, pm, seed=4)
