@@ -283,6 +283,192 @@ def make_generate(model: ParlerTTS, gen: GenerationConfig, cache_dtype=jnp.bfloa
     return fn_sharded
 
 
+def generate_tokens_fused(
+    model: ParlerTTS,
+    gen: GenerationConfig,
+    params,
+    fused,  # FusedParams (ops/pallas/fused_decode_step.py), prepared once
+    desc_ids: jnp.ndarray,
+    desc_mask: Optional[jnp.ndarray],
+    prompt_ids: jnp.ndarray,
+    prompt_mask: Optional[jnp.ndarray],
+    rng: jax.Array,
+    decoder_prompt_codes: Optional[jnp.ndarray] = None,
+    block_s: int = 256,
+    interpret: bool = False,
+) -> GenerateOutput:
+    """B=1 generation whose decode step is the fused Pallas megakernel
+    (`ops/pallas/fused_decode_step.py`): the whole 24-layer stack runs as ONE
+    kernel per token with int8 weights double-buffered layer-ahead into VMEM,
+    eliminating the per-op dispatch latency that bounds B=1 decode. Prefill and
+    sampling stay on the XLA path; tokens may differ from the bf16 path only
+    through int8 weight rounding (serving trade-off, opt-in via
+    `ParlerTTSPipeline(..., fused_decode=True)`).
+    """
+    from ..ops.pallas.fused_decode_step import fused_decode_layers
+    from ..ops.positions import sinusoidal_embed, sinusoidal_table
+
+    cfg: ParlerTTSConfig = model.config
+    dcfg = cfg.decoder
+    assert desc_ids.shape[0] == 1, "fused decode path is B=1 (serving latency mode)"
+    assert not dcfg.rope_embeddings, "fused kernel: sinusoidal positions only"
+    k_cb, max_len = dcfg.num_codebooks, gen.max_length
+    b = 1
+    n_layers, d = dcfg.num_hidden_layers, dcfg.hidden_size
+    n_heads, dh = dcfg.num_attention_heads, dcfg.head_dim
+    variables = {"params": params}
+
+    if desc_mask is None:
+        desc_mask = jnp.ones_like(desc_ids)
+    if prompt_mask is None:
+        prompt_mask = jnp.ones_like(prompt_ids)
+
+    enc = model.apply(variables, desc_ids, desc_mask, method="encode_description")
+    prompt = model.apply(variables, prompt_ids, method="prompt_hidden")
+    enc_states, enc_mask = model.apply(
+        variables, enc, desc_mask,
+        prompt if cfg.prompt_cross_attention else None,
+        prompt_mask if cfg.prompt_cross_attention else None,
+        method="build_encoder_states",
+    )
+
+    if cfg.prompt_cross_attention:
+        s_p = 0
+        prefix = jnp.zeros((b, 0, d), enc_states.dtype)
+        prefix_mask = jnp.zeros((b, 0), jnp.int32)
+    else:
+        s_p = prompt_ids.shape[1]
+        prefix = prompt
+        prefix_mask = prompt_mask.astype(jnp.int32)
+
+    start_col = jnp.full((b, k_cb, 1), gen.bos_token_id, jnp.int32)
+    if decoder_prompt_codes is not None:
+        start_col = jnp.concatenate(
+            [start_col, decoder_prompt_codes.astype(jnp.int32)], axis=-1
+        )
+    first_ids, pattern = build_delay_pattern_mask(
+        start_col, gen.bos_token_id, gen.pad_token_id, max_len
+    )
+    out_ids = jnp.where(pattern == -1, gen.pad_token_id, pattern)
+
+    # cache rows padded to the kernel block so streaming DMAs stay in-bounds;
+    # rows past `limit` are never read (mask-free [start, limit) bounds)
+    s_cache = -(-(s_p + max_len) // block_s) * block_s
+    cache = DecoderCache.zeros(dcfg, b, s_cache, enc_states.shape[1], jnp.bfloat16)
+    cross_k, cross_v = model.apply(
+        variables, enc_states, method=lambda m, x: m.decoder_lm.precompute_cross_kv(x)
+    )
+    cache = cache.replace(cross_k=cross_k, cross_v=cross_v)
+
+    kv_valid = jnp.concatenate(
+        [prefix_mask.astype(bool), jnp.ones((b, s_cache - s_p), bool)], axis=1
+    )
+    flash_start = (s_p - prefix_mask.sum(axis=1)).astype(jnp.int32)[0]
+
+    def embed_ids(ids):
+        return model.apply(
+            variables, ids, method=lambda m, x: m.decoder_lm.embed_ids(x)
+        )
+
+    # ---- prefill on the XLA path (multi-column; runs once)
+    s0 = first_ids.shape[-1]
+    emb0 = embed_ids(first_ids)
+    pre_embeds = jnp.concatenate([prefix.astype(emb0.dtype), emb0], axis=1)
+    abs_pos = jnp.broadcast_to(jnp.arange(s_p + s0), (b, s_p + s0))
+    bias = causal_self_attention_bias(abs_pos, kv_valid)
+    cross_bias = padding_cross_attention_bias(enc_mask, s_p + s0)
+    logits_pre, cache = model.apply(
+        variables, pre_embeds, abs_pos,
+        self_attn_bias=bias, cross_attn_bias=cross_bias, cache=cache,
+        method=lambda m, *a, **kw: m.decoder_lm(*a, **kw),
+    )
+
+    rng, r1 = jax.random.split(rng)
+    eos_state = init_eos_state(b, k_cb)
+    col1, eos_state = _sample_column(
+        logits_pre[:, :, -1, :], jnp.int32(s0), eos_state, pattern, r1, gen,
+        k_cb, prompt_cols=s0,
+    )
+    out_ids = jax.lax.dynamic_update_slice(out_ids, col1[:, :, None], (0, 0, s0))
+
+    # ---- fused decode loop
+    table = sinusoidal_table(dcfg.max_position_embeddings, d, jnp.float32)
+    s_enc = enc_states.shape[1]
+    enc_bias = jnp.where(
+        enc_mask.astype(bool), 0.0, jnp.finfo(jnp.float32).min
+    ).astype(jnp.float32)  # (1, S_enc)
+    ln = params["decoder"]["decoder"]["layer_norm"]
+    lm_heads = params["decoder"]["lm_heads"]  # (K, D, V)
+
+    def cond(s: GenLoopState):
+        return (s.t < max_len) & ~jnp.all(s.eos.eos_seen)
+
+    def body(s: GenLoopState):
+        col_in = jax.lax.dynamic_slice_in_dim(s.out_ids, s.t - 1, 1, axis=2)
+        q_pos = jnp.full((b, 1), s_p, jnp.int32) + (s.t - 1)
+        x_emb = (embed_ids(col_in).astype(jnp.float32)
+                 + sinusoidal_embed(table, q_pos))[0]  # (1, D)
+        n_rows = (jnp.int32(s_p) + s.t - 1).astype(jnp.int32)
+        hidden, new_k, new_v = fused_decode_layers(
+            dcfg, fused, x_emb.astype(jnp.bfloat16),
+            s.cache.self_k[:, 0].reshape(n_layers, s_cache, d),
+            s.cache.self_v[:, 0].reshape(n_layers, s_cache, d),
+            s.cache.cross_k[:, 0].reshape(n_layers, s_enc, d),
+            s.cache.cross_v[:, 0].reshape(n_layers, s_enc, d),
+            enc_bias, flash_start, n_rows,
+            block_s=block_s, interpret=interpret,
+        )
+        # final LN (f32) + stacked heads — tiny; stays in XLA
+        hf = hidden.astype(jnp.float32)
+        mu = hf.mean(-1, keepdims=True)
+        var = ((hf - mu) ** 2).mean(-1, keepdims=True)
+        hf = (hf - mu) * jax.lax.rsqrt(var + 1e-5) * ln["scale"] + ln["bias"]
+        logits = jnp.einsum("td,kdv->ktv", hf, lm_heads.astype(jnp.float32))[None]
+
+        cache = s.cache.replace(
+            self_k=jax.lax.dynamic_update_slice(
+                s.cache.self_k,
+                new_k.reshape(n_layers, 1, 1, n_heads, dh).astype(s.cache.self_k.dtype),
+                (0, 0, n_rows, 0, 0),
+            ),
+            self_v=jax.lax.dynamic_update_slice(
+                s.cache.self_v,
+                new_v.reshape(n_layers, 1, 1, n_heads, dh).astype(s.cache.self_v.dtype),
+                (0, 0, n_rows, 0, 0),
+            ),
+        )
+        rng, r = jax.random.split(s.rng)
+        col, eos = _sample_column(
+            logits[:, :, -1, :], s.t, s.eos, pattern, r, gen, k_cb, prompt_cols=s0,
+        )
+        out = jax.lax.dynamic_update_slice(s.out_ids, col[:, :, None], (0, 0, s.t))
+        return GenLoopState(out, cache, eos, rng, s.t + 1)
+
+    init = GenLoopState(out_ids, cache, eos_state, rng, jnp.int32(s0 + 1))
+    final = jax.lax.while_loop(cond, body, init)
+
+    delayed = apply_delay_pattern_mask(final.out_ids, pattern)
+    codes = undelay_pattern(delayed, k_cb)
+    lengths = valid_frame_lengths(codes, dcfg.pad_token_id)
+    return GenerateOutput(delayed, codes, lengths, final.t)
+
+
+def make_generate_fused(model: ParlerTTS, gen: GenerationConfig, block_s: int = 256,
+                        interpret: bool = False):
+    """jit-wrapped `generate_tokens_fused`; FusedParams passed as a jit arg so
+    the int8 weights live on device once (not closure-captured)."""
+    @jax.jit
+    def fn(params, fused, desc_ids, desc_mask, prompt_ids, prompt_mask, rng,
+           decoder_prompt_codes=None):
+        return generate_tokens_fused(
+            model, gen, params, fused, desc_ids, desc_mask, prompt_ids,
+            prompt_mask, rng, decoder_prompt_codes=decoder_prompt_codes,
+            block_s=block_s, interpret=interpret,
+        )
+
+    return fn
+
+
 def generate_tokens_decoder_only(
     model: ParlerTTS,
     gen: GenerationConfig,

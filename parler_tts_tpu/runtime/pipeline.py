@@ -173,6 +173,7 @@ class ParlerTTSPipeline:
         tokenizer: Any = None,
         frame_bucket: int = 256,
         pad_to_multiple: int = 16,
+        fused_decode: bool = False,
     ):
         self.model = model
         # pin params on device ONCE: numpy param trees (checkpoint loads,
@@ -192,6 +193,21 @@ class ParlerTTSPipeline:
             eos_token_id=dcfg.eos_token_id,
         )
         self._generate_fn = make_generate(model, self.generation_config)
+        # opt-in serving mode: B=1 decode steps run as ONE Pallas megakernel
+        # (int8 weights, ~10% lower step latency; ops/pallas/fused_decode_step.py)
+        self._fused = None
+        self._generate_fused_fn = None
+        if fused_decode:
+            from ..ops.pallas.fused_decode_step import prepare_fused_params
+            from .generate import make_generate_fused
+
+            self._fused = jax.device_put(
+                prepare_fused_params(
+                    jax.tree.map(np.asarray, self.params)["decoder"]["decoder"],
+                    model.config.decoder,
+                )
+            )
+            self._generate_fused_fn = make_generate_fused(model, self.generation_config)
         self._stream_fns = None
         # jax.jit caches one compiled program per codes shape; bucketing keeps
         # the number of shapes small
@@ -343,6 +359,19 @@ class ParlerTTSPipeline:
             desc_ids, desc_mask = rep(desc_ids), rep(desc_mask)
             prompt_ids, prompt_mask = rep(prompt_ids), rep(prompt_mask)
             decoder_prompt_codes = rep(decoder_prompt_codes)
+        if self._generate_fused_fn is not None and np.asarray(desc_ids).shape[0] == 1:
+            return self._generate_fused_fn(
+                self.params,
+                self._fused,
+                jnp.asarray(desc_ids),
+                jnp.asarray(desc_mask) if desc_mask is not None else None,
+                jnp.asarray(prompt_ids),
+                jnp.asarray(prompt_mask) if prompt_mask is not None else None,
+                jax.random.key(seed),
+                jnp.asarray(decoder_prompt_codes)
+                if decoder_prompt_codes is not None
+                else None,
+            )
         out = self._generate_fn(
             self.params,
             jnp.asarray(desc_ids),
