@@ -180,11 +180,19 @@ def generate_tokens(
     # opt-in flash-decode kernel's mask-free masking)
     flash_starts = (s_p - prefix_mask.sum(axis=1)).astype(jnp.int32)
 
+    # sliding-window cache option (reference modeling:3269-3270)
+    window = (
+        dcfg.sliding_window if gen.cache_implementation == "sliding_window" else None
+    )
+    # the Pallas flash-decode kernel's [start, limit) bounds can't express a
+    # query-relative window; route windowed decode through the bias path
+    use_decode_lengths = window is None
+
     # Positions are ABSOLUTE cache-slot indices for both sinusoidal and RoPE:
     # the reference derives position_ids from cache_position before its RoPE
     # mask-cumsum branch, which is therefore dead code (modeling:1466-1468).
     def decoder_forward(embeds, abs_positions, cache, decode_lengths=None):
-        bias = causal_self_attention_bias(abs_positions, kv_valid)
+        bias = causal_self_attention_bias(abs_positions, kv_valid, window)
         cross_bias = padding_cross_attention_bias(enc_mask, embeds.shape[1])
         return model.apply(
             variables, embeds, abs_positions,
@@ -223,7 +231,8 @@ def generate_tokens(
         emb = embed_ids(col_in)
         q_pos = jnp.full((b, 1), s_p, jnp.int32) + (s.t - 1)
         logits, cache = decoder_forward(
-            emb, q_pos, s.cache, decode_lengths=(flash_starts, s_p + s.t)
+            emb, q_pos, s.cache,
+            decode_lengths=(flash_starts, s_p + s.t) if use_decode_lengths else None,
         )
         rng, r = jax.random.split(s.rng)
         col, eos = _sample_column(
@@ -312,6 +321,9 @@ def generate_tokens_fused(
     dcfg = cfg.decoder
     assert desc_ids.shape[0] == 1, "fused decode path is B=1 (serving latency mode)"
     assert not dcfg.rope_embeddings, "fused kernel: sinusoidal positions only"
+    assert gen.cache_implementation != "sliding_window", (
+        "fused kernel uses [start, limit) bounds; sliding_window needs the XLA path"
+    )
     k_cb, max_len = dcfg.num_codebooks, gen.max_length
     b = 1
     n_layers, d = dcfg.num_hidden_layers, dcfg.hidden_size
@@ -509,9 +521,12 @@ def generate_tokens_decoder_only(
     )
     cache = cache.replace(cross_k=cross_k, cross_v=cross_v)
     kv_valid = jnp.ones((b, max_len), bool)
+    window = (
+        dcfg.sliding_window if gen.cache_implementation == "sliding_window" else None
+    )
 
     def fwd(embeds, abs_positions, cache):
-        bias = causal_self_attention_bias(abs_positions, kv_valid)
+        bias = causal_self_attention_bias(abs_positions, kv_valid, window)
         cross_bias = padding_cross_attention_bias(encoder_mask, embeds.shape[1])
         return model.apply(
             variables, embeds, abs_positions,
@@ -571,6 +586,11 @@ class StreamState:
     kv_valid: jnp.ndarray
     enc_mask: Optional[jnp.ndarray]
     s_p: jnp.ndarray
+    # decoder-prompt column count (1 = BOS only; 1+T0 when voice steering).
+    # min_new_tokens must count from here exactly like the offline path
+    # (`generate_tokens` passes prompt_cols=s0 at :231) or streaming suppresses
+    # EOS for fewer steps than offline under voice steering.
+    prompt_cols: jnp.ndarray
 
 
 def make_stream_functions(model: ParlerTTS, gen: GenerationConfig, cache_dtype=jnp.bfloat16):
@@ -584,6 +604,9 @@ def make_stream_functions(model: ParlerTTS, gen: GenerationConfig, cache_dtype=j
     cfg = model.config
     dcfg = cfg.decoder
     k_cb, max_len = dcfg.num_codebooks, gen.max_length
+    window = (
+        dcfg.sliding_window if gen.cache_implementation == "sliding_window" else None
+    )
 
     @jax.jit
     def prefill_fn(params, desc_ids, desc_mask, prompt_ids, prompt_mask, rng,
@@ -634,7 +657,7 @@ def make_stream_functions(model: ParlerTTS, gen: GenerationConfig, cache_dtype=j
         emb0 = model.apply(variables, first_ids, method=lambda m, x: m.decoder_lm.embed_ids(x))
         pre_embeds = jnp.concatenate([prefix.astype(emb0.dtype), emb0], axis=1)
         abs_pos = jnp.broadcast_to(jnp.arange(s_p + s0), (b, s_p + s0))
-        bias = causal_self_attention_bias(abs_pos, kv_valid)
+        bias = causal_self_attention_bias(abs_pos, kv_valid, window)
         cross_bias = padding_cross_attention_bias(enc_mask, s_p + s0)
         logits_pre, cache = model.apply(
             variables, pre_embeds, abs_pos,
@@ -650,7 +673,7 @@ def make_stream_functions(model: ParlerTTS, gen: GenerationConfig, cache_dtype=j
         out_ids = jax.lax.dynamic_update_slice(out_ids, col1[:, :, None], (0, 0, s0))
         return StreamState(
             out_ids, cache, eos_state, rng, jnp.int32(s0 + 1), pattern, kv_valid,
-            enc_mask, jnp.int32(s_p),
+            enc_mask, jnp.int32(s_p), jnp.int32(s0),
         )
 
     @functools.partial(jax.jit, static_argnames=("n_steps",))
@@ -665,7 +688,7 @@ def make_stream_functions(model: ParlerTTS, gen: GenerationConfig, cache_dtype=j
             emb = model.apply(variables, col_in, method=lambda m, x: m.decoder_lm.embed_ids(x))
             q_pos = s.s_p[None, None] + (s.t - 1)
             q_pos = jnp.broadcast_to(q_pos, (b, 1)).astype(jnp.int32)
-            bias = causal_self_attention_bias(q_pos, s.kv_valid)
+            bias = causal_self_attention_bias(q_pos, s.kv_valid, window)
             cross_bias = padding_cross_attention_bias(s.enc_mask, 1)
             logits, cache = model.apply(
                 variables, emb, q_pos,
@@ -674,7 +697,8 @@ def make_stream_functions(model: ParlerTTS, gen: GenerationConfig, cache_dtype=j
             )
             rng, r = jax.random.split(s.rng)
             col, eos = _sample_column(
-                logits[:, :, -1, :], s.t, s.eos, s.pattern, r, gen, k_cb
+                logits[:, :, -1, :], s.t, s.eos, s.pattern, r, gen, k_cb,
+                prompt_cols=s.prompt_cols,
             )
             out = jax.lax.dynamic_update_slice(s.out_ids, col[:, :, None], (0, 0, s.t))
 
@@ -685,7 +709,7 @@ def make_stream_functions(model: ParlerTTS, gen: GenerationConfig, cache_dtype=j
                 jax.tree.map(lambda a, c: jnp.where(done, a, c), s.eos, eos),
                 jnp.where(done, s.rng, rng),
                 jnp.where(done, s.t, s.t + 1),
-                s.pattern, s.kv_valid, s.enc_mask, s.s_p,
+                s.pattern, s.kv_valid, s.enc_mask, s.s_p, s.prompt_cols,
             )
             return new, None
 

@@ -123,6 +123,61 @@ def test_stream_voice_steering_matches_offline(pipe):
     )
 
 
+def test_stream_min_new_tokens_voice_steering_adversarial(pipe):
+    """Regression: the streaming step must count min_new_tokens from the full
+    decoder-prompt column count (s0 = 1 + voice-prompt cols), exactly like the
+    offline path (`generate_tokens` passes prompt_cols=s0). Params are doctored
+    so greedy ALWAYS favors EOS — final LN scale=0 makes the hidden state a
+    constant one-hot, and lm_heads put all mass on EOS — so any
+    suppression-window mismatch changes tokens deterministically (no seed
+    luck): with the old prompt_cols=1 default, streaming would emit EOS at
+    t = min_new_tokens + 1 while offline waits until t = min_new_tokens + s0.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from parler_tts_tpu.runtime.generate import generate_tokens, make_stream_functions
+
+    params = jax.tree.map(np.asarray, jax.device_get(pipe.params))
+    dec = params["decoder"]
+    ln = dec["decoder"]["layer_norm"]
+    d = ln["scale"].shape[0]
+    ln["scale"] = np.zeros_like(np.asarray(ln["scale"]))
+    bias = np.zeros(d, np.float32)
+    bias[0] = 1.0
+    ln["bias"] = bias
+    lm = np.zeros_like(np.asarray(dec["lm_heads"]))  # (K, D, V)
+    lm[:, 0, GEN.eos_token_id] = 5.0
+    dec["lm_heads"] = lm
+
+    desc, dm, prompt, pm = _ids(seed=21, b=1)
+    rng = np.random.default_rng(22)
+    voice = rng.integers(0, PAD, size=(1, 4, 3)).astype(np.int32)  # s0 = 4
+
+    off = generate_tokens(
+        pipe.model, GEN, params, jnp.asarray(desc), jnp.asarray(dm),
+        jnp.asarray(prompt), jnp.asarray(pm), jax.random.key(23),
+        decoder_prompt_codes=jnp.asarray(voice),
+    )
+    # EOS must be suppressed until t >= min_new_tokens + s0: codebook 0's first
+    # EOS lands at exactly that column in the delayed ids.
+    s0 = 1 + voice.shape[-1]
+    delayed = np.asarray(off.delayed_ids)
+    eos_cols = np.nonzero(delayed[0, 0] == GEN.eos_token_id)[0]
+    assert eos_cols.size and eos_cols[0] == GEN.min_new_tokens + s0
+
+    prefill_fn, step_fn = make_stream_functions(pipe.model, GEN)
+    state = prefill_fn(
+        params, jnp.asarray(desc), jnp.asarray(dm),
+        jnp.asarray(prompt), jnp.asarray(pm), jax.random.key(23),
+        jnp.asarray(voice),
+    )
+    while int(state.t) < GEN.max_length and not bool(jnp.all(state.eos.eos_seen)):
+        state = step_fn(params, state, 3)
+
+    np.testing.assert_array_equal(np.asarray(state.out_ids), delayed)
+
+
 def test_stream_chunks_smoke(pipe):
     desc, dm, prompt, pm = _ids(seed=3, b=1)
     chunks = list(pipe.stream(desc, dm, prompt, pm, play_steps=6, seed=11))
