@@ -1,3 +1,8 @@
+from .distributed import (
+    host_local_to_global,
+    local_batch_slice,
+    maybe_init_distributed,
+)
 from .mesh import (
     batch_sharding,
     make_mesh,
@@ -9,7 +14,10 @@ from .mesh import (
 
 __all__ = [
     "batch_sharding",
+    "host_local_to_global",
+    "local_batch_slice",
     "make_mesh",
+    "maybe_init_distributed",
     "param_partition_spec",
     "params_shardings",
     "replicated",

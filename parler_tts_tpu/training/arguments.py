@@ -107,6 +107,8 @@ class TrainingArguments:
     codebook_weights: Optional[List[float]] = None
     resume_from_checkpoint: Optional[str] = None
     report_to: str = "wandb"
+    push_to_hub: bool = False
+    hub_model_id: Optional[str] = None
     # mesh layout (TPU-native addition; reference is DDP-only)
     mesh_data: Optional[int] = None
     mesh_model: int = 1

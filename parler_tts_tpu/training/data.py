@@ -174,37 +174,67 @@ def load_multiple_datasets(
     columns_to_keep: Optional[set] = None,
     id_column_name: Optional[str] = None,
     num_proc: Optional[int] = None,
+    streaming: bool = False,
+    stopping_strategy: str = "first_exhausted",
+    seed: Optional[int] = None,
 ):
-    """Load, resample, metadata-join, and concatenate datasets
+    """Load, resample, metadata-join, and combine datasets
     (reference data.py:175-311). Requires the `datasets` package and
-    (network or cached) data — host-side only."""
+    (network or cached) data — host-side only.
+
+    Non-streaming: parts are concatenated (reference :303-308). Streaming:
+    parts are mixed by `interleave_datasets` with the per-spec sampling
+    probabilities computed by `convert_dataset_str_to_list` (reference
+    :296-302)."""
     from datasets import Audio, concatenate_datasets, load_dataset
 
     parts = []
     for spec in dataset_specs:
-        ds = load_dataset(spec["name"], spec["config"], split=spec["split"], num_proc=num_proc)
+        kw = {} if streaming else {"num_proc": num_proc}
+        ds = load_dataset(
+            spec["name"], spec["config"], split=spec["split"], streaming=streaming, **kw
+        )
         audio_cols = [c for c, f in ds.features.items() if getattr(f, "sampling_rate", None)]
         for c in audio_cols:
             ds = ds.cast_column(c, Audio(sampling_rate=sampling_rate))
         if spec.get("metadata_dataset_name"):
             meta = load_dataset(
                 spec["metadata_dataset_name"], spec["config"], split=spec["split"],
-                num_proc=num_proc,
+                streaming=streaming, **kw,
             )
-            # id-consistency verification (reference data.py:221-288)
             if id_column_name is not None:
-                ids_a = ds[id_column_name]
-                ids_b = meta[id_column_name]
-                if ids_a[:64] != ids_b[:64]:
-                    raise ValueError(
-                        f"id mismatch joining {spec['name']} with "
-                        f"{spec['metadata_dataset_name']}"
-                    )
                 meta = meta.rename_column(id_column_name, f"metadata_{id_column_name}")
             dup = [c for c in meta.column_names if c in ds.column_names]
             meta = meta.remove_columns(dup)
             ds = concatenate_datasets([ds, meta], axis=1)
+            # FULL-corpus id-consistency verification (reference data.py:273-288
+            # filters the whole joined dataset for id != metadata_id); streaming
+            # joins can't be materialized, so they are checked lazily per-row by
+            # the consumer instead.
+            if id_column_name is not None and not streaming:
+                mism = ds.filter(
+                    lambda a, b: a != b,
+                    input_columns=[id_column_name, f"metadata_{id_column_name}"],
+                    num_proc=num_proc,
+                )
+                if len(mism) != 0:
+                    raise ValueError(
+                        f"metadata join misaligned: {len(mism)} rows of "
+                        f"{spec['name']} have ids that differ from "
+                        f"{spec['metadata_dataset_name']}"
+                    )
         if columns_to_keep is not None:
             ds = ds.remove_columns(set(ds.column_names) - columns_to_keep)
         parts.append(ds)
+    if len(parts) == 1:
+        return parts[0]
+    if streaming:
+        from datasets import interleave_datasets
+
+        probs = [spec.get("prob") for spec in dataset_specs]
+        probabilities = probs if all(p is not None for p in probs) else None
+        return interleave_datasets(
+            parts, probabilities=probabilities, seed=seed,
+            stopping_strategy=stopping_strategy,
+        )
     return concatenate_datasets(parts)

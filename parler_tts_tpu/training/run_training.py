@@ -112,11 +112,24 @@ def encode_corpus_stage(
     return labels
 
 
-def data_iterator(features: List[dict], collator, batch_size: int, seed: int, epoch: int):
+def data_iterator(features: List[dict], collator, batch_size: int, seed: int, epoch: int,
+                  process_index: int = 0, process_count: int = 1):
+    """Deterministic epoch iterator over collated global batches.
+
+    Multi-host: every process materializes the same global order and collated
+    shapes (same seed -> same permutation -> same bucket lengths), then keeps
+    only its row slice — the JAX analogue of Accelerate's per-process
+    dataloader sharding (reference run_parler_tts_training.py:496, :1006).
+    The caller reassembles global arrays via `host_local_to_global`."""
     rng = np.random.default_rng(seed + epoch)
     order = rng.permutation(len(features))
+    local = batch_size // process_count
+    sl = slice(process_index * local, (process_index + 1) * local)
     for i in range(0, len(order) - batch_size + 1, batch_size):
-        yield collator([features[j] for j in order[i : i + batch_size]])
+        batch = collator([features[j] for j in order[i : i + batch_size]])
+        if process_count > 1:
+            batch = jax.tree.map(lambda x: x[sl], batch)
+        yield batch
 
 
 def run_training(
@@ -142,6 +155,9 @@ def run_training(
     if max_t >= 512 and not (model.use_chunked_attention and model.remat_layers):
         logger.info("enabling chunked attention + per-layer remat for T=%d", max_t)
         model = model.clone(use_chunked_attention=True, remat_layers=True)
+    # multi-host: the mesh spans every process's devices (ICI within a host,
+    # DCN across); each host feeds its local batch shard (SURVEY §2.4)
+    pi, pc = jax.process_index(), jax.process_count()
     mesh = make_mesh(
         n_data=training_args.mesh_data, n_model=training_args.mesh_model
     ) if jax.device_count() > 1 else None
@@ -194,14 +210,26 @@ def run_training(
         data_args.wandb_project, data_args.wandb_run_name,
         {"total_steps": total_steps, "global_bs": global_bs},
         report_to=training_args.report_to,
-    )
+    ) if pi == 0 else None
     timer = PhaseTimer()
     rng = jax.random.key(training_args.seed)
 
     step = start_step
     train_start = time.perf_counter()
+    def save_state(state, step, epoch):
+        if pc > 1:
+            # multi-process: every process participates; Orbax coordinates the
+            # sharded write through the jax.distributed service
+            save_train_state(state, training_args.output_dir, step, epoch,
+                             training_args.save_total_limit)
+        else:
+            host_state = jax.tree.map(np.asarray, state)
+            save_train_state(host_state, training_args.output_dir, step, epoch,
+                             training_args.save_total_limit)
+
     for epoch in range(start_epoch, int(math.ceil(training_args.num_train_epochs))):
-        it = data_iterator(train_features, collator, global_bs, training_args.seed, epoch)
+        it = data_iterator(train_features, collator, global_bs, training_args.seed,
+                           epoch, process_index=pi, process_count=pc)
         if epoch == start_epoch and start_step > epoch * steps_per_epoch:
             # skip_first_batches equivalent (reference :1010-1015)
             for _ in range(start_step - epoch * steps_per_epoch):
@@ -210,10 +238,16 @@ def run_training(
             if step >= total_steps:
                 break
             rng, r = jax.random.split(rng)
+            if pc > 1:
+                from ..parallel.distributed import host_local_to_global
+
+                batch = host_local_to_global(batch, mesh)
+            else:
+                batch = jax.tree.map(jnp.asarray, batch)
             with timer.phase("train"):
-                state, metrics = step_fn(state, jax.tree.map(jnp.asarray, batch), r)
+                state, metrics = step_fn(state, batch, r)
             step += 1
-            if step % training_args.logging_steps == 0:
+            if step % training_args.logging_steps == 0 and pi == 0:
                 log_metric(
                     tracker,
                     {k: v for k, v in metrics.items()},
@@ -221,11 +255,7 @@ def run_training(
                     step=step, epoch=epoch, prefix="train",
                 )
             if step % training_args.save_steps == 0:
-                host_state = jax.tree.map(np.asarray, state)
-                save_train_state(
-                    host_state, training_args.output_dir, step, epoch,
-                    training_args.save_total_limit,
-                )
+                save_state(state, step, epoch)
             if eval_features and step % training_args.eval_steps == 0:
                 run_eval(model, state, collator, eval_features, training_args, tracker, step, epoch)
                 gen_every = training_args.eval_generation_steps or training_args.eval_steps
@@ -264,21 +294,18 @@ def main(argv=None):
 
     model_args, data_args, training_args = parse_args(argv)
 
+    # multi-host: initialize BEFORE any backend use (reference boots DDP via
+    # `accelerate launch`, run_parler_tts_training.py:112-120)
+    from ..parallel.distributed import maybe_init_distributed
+
+    maybe_init_distributed()
+
     # ---- model + codec
-    from ..runtime.pipeline import ParlerTTSPipeline, load_hf_config
+    from ..runtime.pipeline import ParlerTTSPipeline
 
     path = model_args.model_name_or_path
-    if os.path.isdir(path) and os.path.exists(os.path.join(path, "params.pkl")):
-        cfg = load_hf_config(path)
-        from ..models.parler import ParlerTTS
-
-        model = ParlerTTS(cfg)
-        with open(os.path.join(path, "params.pkl"), "rb") as f:
-            params = pickle.load(f)
-        pipe = None
-    else:
-        pipe = ParlerTTSPipeline.from_pretrained(path)
-        cfg, model, params = pipe.config, pipe.model, pipe.params
+    pipe = ParlerTTSPipeline.from_pretrained(path)
+    cfg, model, params = pipe.config, pipe.model, pipe.params
 
     from transformers import AutoTokenizer
 
@@ -289,70 +316,180 @@ def main(argv=None):
         model_args.prompt_tokenizer_name or path
     )
 
-    # ---- datasets
-    specs = convert_dataset_str_to_list(
-        data_args.train_dataset_name,
-        data_args.train_dataset_config_name,
-        metadata_dataset_names=data_args.train_metadata_dataset_name,
-        splits=data_args.train_split_name,
-        dataset_samples=data_args.train_dataset_samples,
-    )
-    sr = cfg.audio_encoder.sampling_rate
-    ds = load_multiple_datasets(
-        specs, sr, id_column_name=data_args.id_column_name,
-        num_proc=data_args.preprocessing_num_workers,
-    )
-    if data_args.max_train_samples:
-        ds = ds.select(range(data_args.max_train_samples))
-
-    # ---- stage 1: offline codec tokenization (resumable)
+    # ---- codec (shared by both splits)
     dac = build_codec(cfg.audio_encoder)
     dac_params = pipe.dac_params if pipe is not None else None
     if dac_params is None:
         raise SystemExit("codec params required: load from a full checkpoint")
+    sr = cfg.audio_encoder.sampling_rate
+    frame_rate = cfg.audio_encoder.frame_rate
 
-    coll = DataCollatorEncodecWithPadding(
-        sampling_rate=sr,
-        hop_length=cfg.audio_encoder.hop_length,
-        audio_column_name=data_args.target_audio_column_name,
-        max_length_seconds=data_args.max_duration_in_seconds,
-    )
-    bs = training_args.audio_encoder_per_device_batch_size
-
-    def audio_batches():
-        for i in range(0, len(ds), bs):
-            yield coll([ds[j] for j in range(i, min(i + bs, len(ds)))])
-
-    labels = encode_corpus_stage(
-        dac, dac_params, audio_batches(),
-        bos_token_id=cfg.decoder.bos_token_id,
-        eos_token_id=cfg.decoder.eos_token_id,
-        max_label_length=model_args.max_length,
-        hop_length=cfg.audio_encoder.hop_length,
-        save_dir=data_args.temporary_save_to_disk,
-        save_steps=data_args.save_codec_steps,
-    )
-
-    features = []
-    for i, lab in enumerate(labels):
-        row = ds[i]
-        features.append(
-            {
-                "labels": lab,
-                "input_ids": desc_tok(row[data_args.description_column_name])["input_ids"],
-                "prompt_input_ids": prompt_tok(row[data_args.prompt_column_name])["input_ids"],
-            }
+    def prepare_split(dataset_name, config_name, split_name, metadata_name,
+                      dataset_samples, max_samples, save_tag):
+        """Load one split, stage-1 encode, tokenize, and apply the reference's
+        duration/token-length filters (run_parler_tts_training.py:574-638)."""
+        specs = convert_dataset_str_to_list(
+            dataset_name, config_name,
+            metadata_dataset_names=metadata_name,
+            splits=split_name,
+            dataset_samples=dataset_samples,
         )
+        ds = load_multiple_datasets(
+            specs, sr, id_column_name=data_args.id_column_name,
+            num_proc=data_args.preprocessing_num_workers,
+        )
+        if max_samples:
+            ds = ds.select(range(min(max_samples, len(ds))))
+
+        coll = DataCollatorEncodecWithPadding(
+            sampling_rate=sr,
+            hop_length=cfg.audio_encoder.hop_length,
+            audio_column_name=data_args.target_audio_column_name,
+            max_length_seconds=data_args.max_duration_in_seconds,
+        )
+        bs = training_args.audio_encoder_per_device_batch_size
+
+        def audio_batches():
+            for i in range(0, len(ds), bs):
+                yield coll([ds[j] for j in range(i, min(i + bs, len(ds)))])
+
+        save_dir = (
+            os.path.join(data_args.temporary_save_to_disk, save_tag)
+            if data_args.temporary_save_to_disk else None
+        )
+        labels = encode_corpus_stage(
+            dac, dac_params, audio_batches(),
+            bos_token_id=cfg.decoder.bos_token_id,
+            eos_token_id=cfg.decoder.eos_token_id,
+            max_label_length=model_args.max_length,
+            hop_length=cfg.audio_encoder.hop_length,
+            save_dir=save_dir,
+            save_steps=data_args.save_codec_steps,
+        )
+
+        # duration filter on codec frames (reference filters target_length at
+        # :574-600; frames/frame_rate is the same quantity audio-side)
+        min_frames = data_args.min_duration_in_seconds * frame_rate
+        max_frames = data_args.max_duration_in_seconds * frame_rate
+        k_cb = cfg.decoder.num_codebooks
+        features, n_dur, n_tok = [], 0, 0
+        for i, lab in enumerate(labels):
+            n_frames = lab.shape[0] - k_cb - 1  # undo BOS + delay tail
+            if not (min_frames <= n_frames <= max_frames):
+                n_dur += 1
+                continue
+            row = ds[i]
+            desc_text = row[data_args.description_column_name]
+            prompt_text = row[data_args.prompt_column_name]
+            if len(str(desc_text)) > data_args.max_text_length:
+                n_tok += 1
+                continue
+            desc_ids = desc_tok(desc_text)["input_ids"]
+            prompt_ids = prompt_tok(prompt_text)["input_ids"]
+            # token-length filters (reference :611-638)
+            if (data_args.max_description_token_length
+                    and len(desc_ids) > data_args.max_description_token_length):
+                n_tok += 1
+                continue
+            if (data_args.max_prompt_token_length
+                    and len(prompt_ids) > data_args.max_prompt_token_length):
+                n_tok += 1
+                continue
+            features.append(
+                {
+                    "labels": lab,
+                    "input_ids": desc_ids,
+                    "prompt_input_ids": prompt_ids,
+                    "description_text": str(desc_text),
+                    "prompt_text": str(prompt_text),
+                }
+            )
+        logger.info(
+            "%s: %d features (%d filtered by duration, %d by text/token length)",
+            save_tag, len(features), n_dur, n_tok,
+        )
+        return features
+
+    features = prepare_split(
+        data_args.train_dataset_name, data_args.train_dataset_config_name,
+        data_args.train_split_name, data_args.train_metadata_dataset_name,
+        data_args.train_dataset_samples, data_args.max_train_samples, "train",
+    )
+    eval_features = None
+    if training_args.do_eval and data_args.eval_dataset_name:
+        eval_features = prepare_split(
+            data_args.eval_dataset_name,
+            data_args.eval_dataset_config_name or data_args.train_dataset_config_name,
+            data_args.eval_split_name, data_args.eval_metadata_dataset_name,
+            None, data_args.max_eval_samples, "eval",
+        )
+
     if data_args.save_to_disk:
         os.makedirs(data_args.save_to_disk, exist_ok=True)
         with open(os.path.join(data_args.save_to_disk, "features.pkl"), "wb") as f:
-            pickle.dump(features, f)
+            pickle.dump({"train": features, "eval": eval_features}, f)
     if data_args.preprocessing_only:
         logger.info("preprocessing_only: wrote %d features, exiting", len(features))
         return
 
-    # ---- stage 2
-    run_training(model_args, data_args, training_args, model, params, features)
+    # ---- stage 2 (eval loss + generation metrics wired when eval data exists)
+    run_training(
+        model_args, data_args, training_args, model, params, features,
+        eval_features=eval_features, dac=dac, dac_params=dac_params,
+        tokenizers=(desc_tok, prompt_tok),
+    )
+
+    # ---- final export + optional hub push (reference :1088-1099)
+    if jax.process_index() == 0:
+        export_dir = os.path.join(training_args.output_dir, "final")
+        export_and_push(
+            training_args.output_dir, export_dir, cfg, dac_params,
+            hub_model_id=training_args.hub_model_id if training_args.push_to_hub else None,
+        )
+
+
+def export_and_push(output_dir: str, export_dir: str, cfg, dac_params,
+                    hub_model_id: Optional[str] = None) -> Optional[str]:
+    """Export the latest train-state checkpoint to HF-compatible safetensors
+    (utils/hf_export bridge) and optionally push it (reference hub push on
+    save, run_parler_tts_training.py:1093-1099). Returns the export dir."""
+    import pickle
+
+    from ..utils.hf_export import export_composite_to_hf_tensors
+
+    last = get_last_checkpoint(output_dir)
+    if last is None:
+        logger.warning("no checkpoint found under %s; skipping export", output_dir)
+        return None
+    # StandardCheckpointer stores the TrainState pytree; pull params only
+    import orbax.checkpoint as ocp
+
+    with ocp.PyTreeCheckpointer() as ckptr:
+        restored = ckptr.restore(os.path.abspath(last))
+    params = restored["params"] if isinstance(restored, dict) and "params" in restored else restored
+    tensors = export_composite_to_hf_tensors(jax.tree.map(np.asarray, params), cfg)
+    os.makedirs(export_dir, exist_ok=True)
+    try:
+        from safetensors.numpy import save_file
+
+        save_file(tensors, os.path.join(export_dir, "model.safetensors"))
+    except ImportError:
+        np.savez(os.path.join(export_dir, "model.npz"), **tensors)
+    with open(os.path.join(export_dir, "config.json"), "w") as f:
+        f.write(cfg.to_json())
+    with open(os.path.join(export_dir, "dac_params.pkl"), "wb") as f:
+        pickle.dump(jax.tree.map(np.asarray, dac_params), f)
+    if hub_model_id:
+        try:
+            from huggingface_hub import HfApi
+
+            api = HfApi()
+            api.create_repo(hub_model_id, exist_ok=True)
+            api.upload_folder(folder_path=export_dir, repo_id=hub_model_id)
+            logger.info("pushed %s to hub repo %s", export_dir, hub_model_id)
+        except Exception as e:  # dep-gated like eval metrics
+            logger.warning("hub push skipped: %s", e)
+    return export_dir
 
 
 def run_eval(model, state, collator, eval_features, training_args, tracker, step, epoch):
