@@ -63,10 +63,20 @@ def build_pipeline(max_length: int, seconds_target: float):
     from parler_tts_tpu.utils.dtypes import cast_floating
 
     params = cast_floating(params, jnp.bfloat16)
-    return ParlerTTSPipeline(model, params, dac, dac_params, gen)
+    # fused_decode: B=1 decode steps run as ONE Pallas megakernel with int8
+    # weights (the shipped serving mode; oracle-tested in
+    # tests/test_fused_generate.py). B>1 calls fall back to the bf16 XLA path
+    # inside the same pipeline.
+    return ParlerTTSPipeline(model, params, dac, dac_params, gen,
+                             fused_decode=True)
 
 
 def main():
+    from parler_tts_tpu.utils.compile_cache import enable_compilation_cache
+
+    cache_dir = enable_compilation_cache()
+    _progress(f"compilation cache: {cache_dir}")
+
     frame_rate = 86
     seconds_target = 10.0
     max_length = int(seconds_target * frame_rate)  # 860 steps

@@ -102,6 +102,7 @@ class DecoderConfig:
     tie_word_embeddings: bool = False
     rope_embeddings: bool = False
     rope_theta: float = 10000.0
+    sliding_window: Optional[int] = None  # reference configuration_parler_tts.py:97
     use_fused_lm_heads: bool = False
     codebook_weights: Optional[Tuple[float, ...]] = None
     cross_attention_hidden_size: Optional[int] = None
@@ -200,6 +201,11 @@ class GenerationConfig:
     # checkpoints essentially never emit out-of-codebook ids; this makes that a
     # hard guarantee (and makes random-weight benches behave like trained ones).
     codebook_guard: Optional[int] = None
+    # "static" (default) or "sliding_window" — with "sliding_window" the
+    # decoder self-attention is limited to the last `decoder.sliding_window`
+    # positions (reference NEED_SETUP_CACHE_CLASSES_MAPPING + generate's
+    # cache_implementation, modeling:97, :3269-3270)
+    cache_implementation: str = "static"
     # samples per input row; expanded by repeating inputs at the pipeline
     # boundary (HF GenerationMixin._expand_inputs_for_generation semantics —
     # sampling only, greedy raises like the reference)

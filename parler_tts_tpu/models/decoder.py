@@ -423,6 +423,14 @@ class ParlerDecoder(nn.Module):
 
         x = self.dropout(x, deterministic=deterministic)
 
+        # LayerDrop (reference modeling:1587-1589): during training each layer
+        # is skipped with prob cfg.layerdrop. The skip is a select (the layer
+        # still computes under jit — static graph), preserving the regularizer
+        # semantics without data-dependent control flow.
+        drop_rng = None
+        if not deterministic and cfg.layerdrop > 0.0 and cache is None:
+            drop_rng = self.make_rng("dropout")
+
         cache_kv = (cache.self_k, cache.self_v) if cache is not None else None
         for i, layer in enumerate(self.layers):
             if cache is not None:
@@ -433,6 +441,7 @@ class ParlerDecoder(nn.Module):
                 idx = None
             else:
                 cross_k_i = cross_v_i = idx = None
+            x_in = x
             if self.remat_layers and cache is None:
                 x = layer.train_forward(
                     x, self_attn_bias, cross_k_i, cross_v_i, cross_attn_bias,
@@ -454,6 +463,11 @@ class ParlerDecoder(nn.Module):
                     mask_1d=mask_1d,
                     deterministic=deterministic,
                 )
+            if drop_rng is not None:
+                dropped = jax.random.bernoulli(
+                    jax.random.fold_in(drop_rng, i), cfg.layerdrop
+                )
+                x = jnp.where(dropped, x_in, x)
 
         x = self.layer_norm(x)
 

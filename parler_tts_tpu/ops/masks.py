@@ -19,6 +19,7 @@ NEG_INF = jnp.finfo(jnp.float32).min
 def causal_self_attention_bias(
     q_positions: jnp.ndarray,
     kv_valid: jnp.ndarray,
+    sliding_window: Optional[int] = None,
 ) -> jnp.ndarray:
     """Additive bias for self-attention over a static KV cache.
 
@@ -27,6 +28,11 @@ def causal_self_attention_bias(
       kv_valid: (B, S) bool — cache slots that hold real (non-padding) tokens.
         Slots not yet written are excluded by causality (their index exceeds
         every query position), so no separate "written" mask is needed.
+      sliding_window: when set, each query additionally attends only to the
+        last `sliding_window` positions (the reference's SlidingWindowCache
+        option, modeling:3269-3270 + config.sliding_window — there the window
+        bounds the cache allocation; under a preallocated static cache the
+        same semantics are a window on the attention bias).
 
     Returns: (B, 1, T, S) fp32 bias (0 = attend, NEG_INF = masked).
     """
@@ -34,6 +40,8 @@ def causal_self_attention_bias(
     kv_pos = jnp.arange(s)[None, None, :]                 # (1, 1, S)
     causal = kv_pos <= q_positions[:, :, None]            # (B, T, S)
     ok = causal & kv_valid[:, None, :]
+    if sliding_window is not None:
+        ok = ok & (kv_pos > q_positions[:, :, None] - sliding_window)
     return jnp.where(ok, 0.0, NEG_INF)[:, None, :, :].astype(jnp.float32)
 
 

@@ -128,6 +128,7 @@ def load_hf_config(path: str) -> ParlerTTSConfig:
             eos_token_id=de.get("eos_token_id", 1024),
             rope_embeddings=de.get("rope_embeddings", False),
             rope_theta=de.get("rope_theta", 10000.0),
+            sliding_window=de.get("sliding_window"),
             use_fused_lm_heads=de.get("use_fused_lm_heads", False),
             codebook_weights=tuple(de["codebook_weights"]) if de.get("codebook_weights") else None,
         ),
@@ -175,6 +176,10 @@ class ParlerTTSPipeline:
         pad_to_multiple: int = 16,
         fused_decode: bool = False,
     ):
+        from ..utils.compile_cache import enable_compilation_cache
+
+        # one-time-per-machine compile cost: persist compiled executables
+        enable_compilation_cache()
         self.model = model
         # pin params on device ONCE: numpy param trees (checkpoint loads,
         # quantization transforms) would otherwise re-upload every leaf on
