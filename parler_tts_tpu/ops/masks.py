@@ -13,7 +13,14 @@ from typing import Optional
 
 import jax.numpy as jnp
 
-NEG_INF = jnp.finfo(jnp.float32).min
+# Half of fp32 min, NOT finfo.min: the bias is ADDED to attention scores, and
+# finfo.min + (any negative score) overflows to -inf. A row that is entirely
+# masked (e.g. the all-pad query rows of a left-padded prompt) would then be
+# all -inf, and max-subtracting softmax turns it into NaN — which pad-slot K/V
+# writes propagate into *valid* positions on the next layer. With half-range,
+# fully-masked rows stay finite (softmax degrades to uniform over masked keys,
+# harmless: those rows are dropped by the loss / never sampled).
+NEG_INF = jnp.finfo(jnp.float32).min / 2
 
 
 def causal_self_attention_bias(

@@ -127,6 +127,15 @@ def generate_tokens(
     b = desc_ids.shape[0]
     variables = {"params": params}
 
+    # the cache/position span is prompt prefix + max_len; past the position
+    # table, jnp.take's fill mode would silently emit NaN rows (torch raises)
+    span = (0 if cfg.prompt_cross_attention else prompt_ids.shape[1]) + max_len
+    if span > dcfg.max_position_embeddings:
+        raise ValueError(
+            f"prompt ({prompt_ids.shape[1]}) + max_length ({max_len}) exceeds "
+            f"max_position_embeddings={dcfg.max_position_embeddings}"
+        )
+
     if desc_mask is None:
         desc_mask = jnp.ones_like(desc_ids)
     if prompt_mask is None:
