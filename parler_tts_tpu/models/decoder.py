@@ -133,6 +133,7 @@ class Attention(nn.Module):
     use_flash_decode: bool = False       # opt-in Pallas kernel for T==1 decode
     use_chunked_attention: bool = False  # O(T*chunk)-memory training attention
     weight_quant: bool = False           # int8 weight-only serving mode
+    fused_qkv: bool = False              # serving: one q|k|v matmul per layer
 
     def setup(self):
         cfg = self.config
@@ -144,10 +145,32 @@ class Attention(nn.Module):
                 feats, use_bias=False, dtype=self.dtype, name=name,
                 kernel_init=nn.initializers.normal(cfg.initializer_factor),
             )
-        self.q_proj = dense(d, "q_proj")
-        self.k_proj = dense(self.num_kv_heads * dh, "k_proj")
-        self.v_proj = dense(self.num_kv_heads * dh, "v_proj")
+        if self.fused_qkv:
+            # B=1 decode is bound by serial per-op dispatch, not FLOPs
+            # (INFERENCE.md profile): merging q|k|v into ONE matmul removes two
+            # dispatches per layer per step. Kernel layout = concat along the
+            # output axis (see fuse_qkv_params); bias-free so the concat is
+            # numerically identical to the three separate matmuls.
+            self.qkv_proj = dense(d + 2 * self.num_kv_heads * dh, "qkv_proj")
+        else:
+            self.q_proj = dense(d, "q_proj")
+            self.k_proj = dense(self.num_kv_heads * dh, "k_proj")
+            self.v_proj = dense(self.num_kv_heads * dh, "v_proj")
         self.out_proj = dense(d, "out_proj")
+
+    def _qkv(self, x):
+        """(q, k, v) raw projections under either layout."""
+        cfg = self.config
+        d, dh = cfg.hidden_size, cfg.head_dim
+        if self.fused_qkv:
+            qkv = self.qkv_proj(x)
+            kv = self.num_kv_heads * dh
+            return (
+                qkv[..., :d],
+                qkv[..., d : d + kv],
+                qkv[..., d + kv :],
+            )
+        return self.q_proj(x), self.k_proj(x), self.v_proj(x)
 
     def _split_q(self, x):
         b, t, _ = x.shape
@@ -160,7 +183,10 @@ class Attention(nn.Module):
 
     def project_kv(self, states: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """k/v projections of (encoder) states — used to prefill the cross cache."""
-        return self._split_kv(self.k_proj(states)), self._split_kv(self.v_proj(states))
+        _, k, v = self._qkv(states) if self.fused_qkv else (
+            None, self.k_proj(states), self.v_proj(states)
+        )
+        return self._split_kv(k), self._split_kv(v)
 
     def _query(self, x, cos, sin):
         # q is scaled before RoPE like the reference (rotation commutes with scale).
@@ -188,9 +214,12 @@ class Attention(nn.Module):
         buffer in place through the decode while_loop — no per-step restack
         copy of the whole cache.
         """
-        q = self._query(x, cos, sin)
-        k = self._split_kv(self.k_proj(x))
-        v = self._split_kv(self.v_proj(x))
+        q_raw, k_raw, v_raw = self._qkv(x)
+        q = self._split_q(q_raw) * (self.config.head_dim ** -0.5)
+        if self.config.rope_embeddings and cos is not None:
+            q = apply_rope(q, cos, sin)
+        k = self._split_kv(k_raw)
+        v = self._split_kv(v_raw)
         if self.config.rope_embeddings and cos is not None:
             k = apply_rope(k, cos, sin)
 
@@ -253,6 +282,7 @@ class DecoderLayer(nn.Module):
     use_flash_decode: bool = False
     use_chunked_attention: bool = False
     weight_quant: bool = False
+    fused_qkv: bool = False
 
     def setup(self):
         cfg = self.config
@@ -261,7 +291,8 @@ class DecoderLayer(nn.Module):
             cfg, cfg.num_key_value_heads, self.dtype,
             use_flash_decode=self.use_flash_decode,
             use_chunked_attention=self.use_chunked_attention,
-            weight_quant=self.weight_quant, name="self_attn",
+            weight_quant=self.weight_quant, fused_qkv=self.fused_qkv,
+            name="self_attn",
         )
         self.self_attn_layer_norm = ln("self_attn_layer_norm")
         self.encoder_attn = Attention(
@@ -345,6 +376,7 @@ class ParlerDecoder(nn.Module):
     use_chunked_attention: bool = False
     weight_quant: bool = False
     remat_layers: bool = False  # per-layer rematerialization for long-T training
+    fused_qkv: bool = False
 
     def setup(self):
         cfg = self.config
@@ -367,7 +399,8 @@ class ParlerDecoder(nn.Module):
         self.layers = [
             layer_cls(
                 cfg, self.dtype, self.use_flash_decode,
-                self.use_chunked_attention, self.weight_quant, name=f"layers_{i}",
+                self.use_chunked_attention, self.weight_quant, self.fused_qkv,
+                name=f"layers_{i}",
             )
             for i in range(cfg.num_hidden_layers)
         ]
@@ -492,13 +525,14 @@ class ParlerForCausalLM(nn.Module):
     use_chunked_attention: bool = False
     weight_quant: bool = False
     remat_layers: bool = False
+    fused_qkv: bool = False
 
     def setup(self):
         cfg = self.config
         self.decoder = ParlerDecoder(
             cfg, self.dtype, self.use_flash_decode,
             self.use_chunked_attention, self.weight_quant, self.remat_layers,
-            name="decoder",
+            self.fused_qkv, name="decoder",
         )
         # (K, D, V) — applied as one fused einsum (TPU-native `use_fused_lm_heads`).
         # NB: heads stay bf16 even in weight_quant mode — their vocab axis

@@ -40,6 +40,7 @@ class ParlerTTS(nn.Module):
     use_chunked_attention: bool = False  # O(T*chunk)-memory training attention
     weight_quant: bool = False           # int8 weight-only serving mode
     remat_layers: bool = False           # per-layer remat for long-T training
+    fused_qkv: bool = False              # serving: one q|k|v matmul per layer
 
     def setup(self):
         cfg = self.config
@@ -47,7 +48,7 @@ class ParlerTTS(nn.Module):
         self.decoder_lm = ParlerForCausalLM(
             cfg.decoder, self.dtype, self.use_flash_decode,
             self.use_chunked_attention, self.weight_quant, self.remat_layers,
-            name="decoder",
+            self.fused_qkv, name="decoder",
         )
         # prompt embedding: (prompt_vocab, decoder_hidden) — modeling:2395
         self.embed_prompts = nn.Embed(
@@ -155,6 +156,16 @@ class ParlerTTS(nn.Module):
             s_p = prompt.shape[1]
 
         full_t = full_embeds.shape[1]
+        if full_t > cfg.decoder.max_position_embeddings:
+            # torch's F.embedding raises on out-of-range positions; jnp.take's
+            # fill mode would silently emit NaN rows instead — fail loudly at
+            # trace time (shapes are static under jit).
+            raise ValueError(
+                f"decoder sequence (prompt {s_p} + frames {t} = {full_t}) exceeds "
+                f"max_position_embeddings={cfg.decoder.max_position_embeddings}; "
+                "lower the collator's label bucket / audio_max_length or raise "
+                "the config limit"
+            )
         # Positions are absolute for BOTH sinusoidal and RoPE: the reference
         # sets position_ids from cache_position before its mask-cumsum branch,
         # making that branch dead code (modeling:1466-1468 vs :1520-1526) —
@@ -204,3 +215,46 @@ def convert_composite_params(
             "bias": np.asarray(tensors["enc_to_dec_proj.bias"]),
         }
     return params
+
+
+def fuse_qkv_params(params) -> Dict:
+    """Serving transform for `ParlerTTS(fused_qkv=True)`: concatenate each
+    decoder layer's self-attention q/k/v kernels (bias-free) into one
+    `qkv_proj` kernel along the output axis — numerically identical, two fewer
+    dispatches per layer per decode step (see INFERENCE.md profile)."""
+
+    def walk(tree):
+        if not isinstance(tree, Mapping):
+            return tree
+        if "q_proj" in tree and "k_proj" in tree and "v_proj" in tree:
+            out = {k: v for k, v in tree.items() if k not in ("q_proj", "k_proj", "v_proj")}
+            out["qkv_proj"] = {
+                "kernel": np.concatenate(
+                    [
+                        np.asarray(tree["q_proj"]["kernel"]),
+                        np.asarray(tree["k_proj"]["kernel"]),
+                        np.asarray(tree["v_proj"]["kernel"]),
+                    ],
+                    axis=1,
+                )
+            }
+            return out
+        return {k: walk(v) for k, v in tree.items()}
+
+    import jax
+
+    host = jax.tree.map(np.asarray, params)
+    # only self_attn is fused; walk from each layer dict and rewrite its
+    # self_attn subtree, leaving encoder_attn and everything else untouched
+    def rewrite(tree):
+        if not isinstance(tree, Mapping):
+            return tree
+        out = {}
+        for k, v in tree.items():
+            if k == "self_attn" and isinstance(v, Mapping) and "q_proj" in v:
+                out[k] = walk(v)
+            else:
+                out[k] = rewrite(v)
+        return out
+
+    return rewrite(host)

@@ -90,10 +90,19 @@ def load_hf_config(path: str) -> ParlerTTSConfig:
                 f"unsupported audio_encoder model_type {mt!r}; "
                 "supported codecs: dac_on_the_hub, encodec"
             )
+        # geometry fields beyond the HF DACConfig surface (which fixes them to
+        # the 44.1kHz descript model) are honored when present so non-standard
+        # DAC variants round-trip through config.json
+        dac_defaults = DACConfig()
         audio_encoder = DACConfig(
             num_codebooks=ae.get("num_codebooks", 9),
             codebook_size=ae.get("codebook_size", 1024),
+            codebook_dim=ae.get("codebook_dim", dac_defaults.codebook_dim),
             latent_dim=ae.get("latent_dim", 1024),
+            encoder_dim=ae.get("encoder_dim", dac_defaults.encoder_dim),
+            encoder_rates=tuple(ae.get("encoder_rates", dac_defaults.encoder_rates)),
+            decoder_dim=ae.get("decoder_dim", dac_defaults.decoder_dim),
+            decoder_rates=tuple(ae.get("decoder_rates", dac_defaults.decoder_rates)),
             frame_rate=int(ae.get("frame_rate", 86)),
             sampling_rate=ae.get("sampling_rate", 44100),
         )
@@ -107,7 +116,10 @@ def load_hf_config(path: str) -> ParlerTTSConfig:
             num_heads=te["num_heads"],
             relative_attention_num_buckets=te.get("relative_attention_num_buckets", 32),
             relative_attention_max_distance=te.get("relative_attention_max_distance", 128),
-            feed_forward_proj=te.get("feed_forward_proj", "gated-gelu"),
+            # HF T5Config's default is "relu"; only flan checkpoints write
+            # "gated-gelu". Mirror HF here or minimal config.json files load
+            # a gated tower against non-gated weights.
+            feed_forward_proj=te.get("feed_forward_proj", "relu"),
             dropout_rate=te.get("dropout_rate", 0.1),
         ),
         audio_encoder=audio_encoder,
@@ -175,11 +187,21 @@ class ParlerTTSPipeline:
         frame_bucket: int = 256,
         pad_to_multiple: int = 16,
         fused_decode: bool = False,
+        fused_qkv: bool = False,
     ):
         from ..utils.compile_cache import enable_compilation_cache
 
         # one-time-per-machine compile cost: persist compiled executables
         enable_compilation_cache()
+        if fused_qkv:
+            # serving transform: one q|k|v matmul per decoder layer (fewer
+            # serial dispatches per decode step — the B=1 bottleneck,
+            # INFERENCE.md profile); bias-free so numerics are identical
+            assert not fused_decode, "fused_qkv and fused_decode are exclusive"
+            from ..models.parler import fuse_qkv_params
+
+            model = model.clone(fused_qkv=True)
+            params = fuse_qkv_params(params)
         self.model = model
         # pin params on device ONCE: numpy param trees (checkpoint loads,
         # quantization transforms) would otherwise re-upload every leaf on
@@ -464,13 +486,24 @@ class ParlerTTSPipeline:
         play_steps: int = 86,
         seed: int = 0,
         decoder_prompt_codes: Optional[np.ndarray] = None,
+        incremental: bool = True,
+        context_frames: int = 64,
     ):
         """Yield waveform chunks as generation progresses.
 
         Chunking semantics follow `ParlerTTSStreamer`
         (`/root/reference/parler_tts/streamer.py:66-131`): every `play_steps`
-        new tokens, un-delay + codec-decode everything so far and emit the new
-        samples, holding back `stride` samples for smooth chunk joins.
+        new tokens, un-delay + codec-decode and emit the new samples, holding
+        back `stride` samples for smooth chunk joins.
+
+        `incremental=True` (default, a TPU improvement over the reference's
+        O(T^2) full-prefix re-decode, streamer.py:93-104): each flush decodes
+        only a trailing WINDOW of frames — the new frames plus `context_frames`
+        of history covering the conv stack's receptive field — so per-flush
+        codec cost is O(play_steps + context), constant over the utterance, and
+        every flush reuses ONE compiled decode shape. Emitted samples always
+        sit >= context_frames past the window edge, where boundary effects from
+        the missing earlier history have fully decayed.
         """
         from ..ops.delay_pattern import undelay_pattern, valid_frame_lengths
 
@@ -509,21 +542,34 @@ class ParlerTTSPipeline:
                 if done:
                     return
                 continue
-            # decode at a play_steps-bucketed length so chunk flushes reuse a
-            # small set of compiled decode programs
-            m = min(_round_up(n, play_steps), codes.shape[-1])
-            audio = np.asarray(
-                self._decode_fn_for(m)(
-                    self.dac_params,
-                    jnp.clip(codes[:, :, :m], 0, self.config.audio_encoder.codebook_size - 1),
+            if incremental:
+                # trailing window only: [w0, n) with w0 far enough behind the
+                # first sample we will emit that boundary effects are gone
+                w0 = max(0, to_yield // hop - context_frames)
+                m = min(_round_up(n - w0, play_steps), codes.shape[-1] - w0)
+                window = jnp.clip(
+                    codes[:, :, w0 : w0 + m],
+                    0, self.config.audio_encoder.codebook_size - 1,
                 )
-            )[:, : n * hop, 0]
-            total = audio.shape[1]
+                audio = np.asarray(
+                    self._decode_fn_for(m)(self.dac_params, window)
+                )[:, : (n - w0) * hop, 0]
+                base = w0 * hop
+            else:
+                m = min(_round_up(n, play_steps), codes.shape[-1])
+                audio = np.asarray(
+                    self._decode_fn_for(m)(
+                        self.dac_params,
+                        jnp.clip(codes[:, :, :m], 0, self.config.audio_encoder.codebook_size - 1),
+                    )
+                )[:, : n * hop, 0]
+                base = 0
+            total = base + audio.shape[1]
             if done:
                 if total > to_yield:
-                    yield audio[:, to_yield:]
+                    yield audio[:, to_yield - base :]
                 return
             upper = max(total - stride, to_yield)
             if upper > to_yield:
-                yield audio[:, to_yield:upper]
+                yield audio[:, to_yield - base : upper - base]
                 to_yield = upper

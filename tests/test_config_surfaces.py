@@ -58,6 +58,42 @@ def test_sliding_window_generation_changes_tokens():
     assert not np.array_equal(np.asarray(full.delayed_ids), np.asarray(sw.delayed_ids))
 
 
+def test_fused_qkv_serving_parity():
+    """ParlerTTS(fused_qkv=True) + fuse_qkv_params must generate EXACTLY the
+    same tokens as the separate q/k/v layout (bias-free concat is exact)."""
+    import jax.numpy as jnp
+
+    from parler_tts_tpu.models.parler import ParlerTTS, fuse_qkv_params
+    from parler_tts_tpu.runtime.generate import generate_tokens
+    from test_training_step import tiny_config
+
+    cfg = tiny_config()
+    gen = GenerationConfig(max_length=20, min_new_tokens=8, do_sample=False,
+                           bos_token_id=BOS, pad_token_id=PAD, eos_token_id=PAD)
+    model = ParlerTTS(cfg)
+    rng = np.random.default_rng(2)
+    desc = jnp.asarray(rng.integers(0, 120, (2, 7)), jnp.int32)
+    dm = jnp.ones((2, 7), jnp.int32)
+    prompt = jnp.asarray(rng.integers(0, 256, (2, 5)), jnp.int32)
+    pm = jnp.ones((2, 5), jnp.int32)
+    labels = jnp.asarray(rng.integers(0, PAD, (2, 6, 4)), jnp.int32)
+    params = model.init(jax.random.key(0), desc, dm, prompt, pm, labels)["params"]
+
+    base = generate_tokens(model, gen, params, desc, dm, prompt, pm, jax.random.key(3))
+    fused_model = ParlerTTS(cfg, fused_qkv=True)
+    fused_params = fuse_qkv_params(params)
+    fused = generate_tokens(fused_model, gen, fused_params, desc, dm, prompt, pm,
+                            jax.random.key(3))
+    np.testing.assert_array_equal(
+        np.asarray(base.delayed_ids), np.asarray(fused.delayed_ids)
+    )
+
+    # teacher-forced logits parity too (training-style forward)
+    l1, _ = model.apply({"params": params}, desc, dm, prompt, pm, labels)
+    l2, _ = fused_model.apply({"params": fused_params}, desc, dm, prompt, pm, labels)
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), atol=1e-5)
+
+
 def test_layerdrop_skips_layers():
     """layerdrop=1.0 must make the training forward independent of the layer
     params (every layer skipped); layerdrop=0.0 must not."""

@@ -188,6 +188,42 @@ def test_stream_chunks_smoke(pipe):
     assert np.abs(streamed).max() <= 1.0
 
 
+def test_stream_incremental_matches_full_decode(pipe):
+    """Incremental (windowed) streaming decode must emit the same samples as
+    the full-prefix re-decode once the context window covers the conv stack's
+    receptive field — and exactly the same chunk boundaries either way."""
+    desc, dm, prompt, pm = _ids(seed=3, b=1)
+    full = list(pipe.stream(desc, dm, prompt, pm, play_steps=6, seed=11,
+                            incremental=False))
+    # context >= utterance: w0 always 0 -> bit-identical
+    inc_big = list(pipe.stream(desc, dm, prompt, pm, play_steps=6, seed=11,
+                               incremental=True, context_frames=1000))
+    assert [c.shape for c in inc_big] == [c.shape for c in full]
+    np.testing.assert_array_equal(
+        np.concatenate(inc_big, axis=1), np.concatenate(full, axis=1)
+    )
+
+    # longer utterance so the window actually slides (w0 > 0): with context
+    # covering the decoder's receptive field (~31 frames for this geometry:
+    # conv_in +-3 frames, then 6*(1+3+9) dilated-conv samples per stage at
+    # 4x/16x/32x upsampling), windowed decode matches full decode
+    from parler_tts_tpu.config import GenerationConfig as GC
+
+    gen96 = GC(max_length=96, min_new_tokens=90, do_sample=True, temperature=1.0,
+               bos_token_id=BOS, pad_token_id=PAD, eos_token_id=PAD,
+               codebook_guard=PAD)
+    pipe96 = ParlerTTSPipeline(pipe.model, pipe.params, pipe.dac, pipe.dac_params,
+                               generation_config=gen96, frame_bucket=8)
+    full96 = np.concatenate(
+        list(pipe96.stream(desc, dm, prompt, pm, play_steps=12, seed=5,
+                           incremental=False)), axis=1)
+    inc96 = np.concatenate(
+        list(pipe96.stream(desc, dm, prompt, pm, play_steps=12, seed=5,
+                           incremental=True, context_frames=40)), axis=1)
+    assert inc96.shape == full96.shape and full96.shape[1] >= 80 * CFG.audio_encoder.hop_length
+    np.testing.assert_allclose(inc96, full96, atol=1e-4)
+
+
 def test_decode_codes_bucketing(pipe):
     desc, dm, prompt, pm = _ids(seed=4)
     out = pipe.generate_codes(desc, dm, prompt, pm, seed=2)
