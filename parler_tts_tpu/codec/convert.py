@@ -125,3 +125,91 @@ def convert_dac_params(
     }
 
     return {"encoder": encoder, "quantizer": quantizer, "decoder": decoder}
+
+
+# --------------------------------------------------------------------- export
+def _split_weight_norm(w: np.ndarray, v_scale: float = 1.0):
+    """Plain torch-layout weight -> (weight_g, weight_v) such that torch's
+    weight_norm reconstruction g * v/||v|| (norm over dims 1..N, dim=0) yields
+    `w` exactly. Any positive per-direction scale of v works; `v_scale != 1`
+    exercises real folding in the consumer."""
+    axes = tuple(range(1, w.ndim))
+    g = np.sqrt(np.sum(w.astype(np.float64) ** 2, axis=axes, keepdims=True))
+    return g.astype(w.dtype), (w * v_scale).astype(w.dtype)
+
+
+def export_dac_params(
+    params: Dict, config: DACConfig, prefix: str = "model.",
+    weight_norm: bool = True, v_scale: float = 1.0,
+) -> Dict[str, np.ndarray]:
+    """Inverse of `convert_dac_params`: our `DACModel` params -> a descript-DAC
+    torch state dict (weight-norm parametrized like the checkpoints the
+    reference re-wraps at load, `dac_wrapper/modeling_dac.py:148-164`).
+    Used by the hub-push bridge and the checkpoint-fidelity harness."""
+    out: Dict[str, np.ndarray] = {}
+
+    def put_conv(prefix_t: str, leaf: Dict, transpose):
+        w = np.ascontiguousarray(np.asarray(leaf["kernel"]).transpose(*transpose))
+        if weight_norm:
+            g, v = _split_weight_norm(w, v_scale)
+            out[f"{prefix_t}.weight_g"] = g
+            out[f"{prefix_t}.weight_v"] = v
+        else:
+            out[f"{prefix_t}.weight"] = w
+        out[f"{prefix_t}.bias"] = np.asarray(leaf["bias"])
+
+    conv = lambda pt, leaf: put_conv(pt, leaf, (2, 1, 0))       # (k,in,out)->(out,in,k)  # noqa: E731
+    convT = lambda pt, leaf: put_conv(pt, leaf, (1, 2, 0))      # (k,in,out)->(in,out,k)  # noqa: E731
+    snake = lambda pt, leaf: out.__setitem__(                   # noqa: E731
+        f"{pt}.alpha", np.ascontiguousarray(np.asarray(leaf["alpha"]).transpose(0, 2, 1))
+    )
+
+    def res_unit(pt: str, leaf: Dict):
+        snake(f"{pt}.block.0", leaf["snake1"])
+        conv(f"{pt}.block.1", leaf["conv1"])
+        snake(f"{pt}.block.2", leaf["snake2"])
+        conv(f"{pt}.block.3", leaf["conv2"])
+
+    p = prefix
+    enc = params["encoder"]
+    conv(f"{p}encoder.block.0", enc["conv_in"])
+    for i in range(len(config.encoder_rates)):
+        bp, blk = f"{p}encoder.block.{1 + i}", enc[f"block_{i}"]
+        res_unit(f"{bp}.block.0", blk["res1"])
+        res_unit(f"{bp}.block.1", blk["res2"])
+        res_unit(f"{bp}.block.2", blk["res3"])
+        snake(f"{bp}.block.3", blk["snake"])
+        conv(f"{bp}.block.4", blk["down"])
+    n_enc = 1 + len(config.encoder_rates)
+    snake(f"{p}encoder.block.{n_enc}", enc["snake_out"])
+    conv(f"{p}encoder.block.{n_enc + 1}", enc["conv_out"])
+
+    dec = params["decoder"]
+    conv(f"{p}decoder.model.0", dec["conv_in"])
+    for i in range(len(config.decoder_rates)):
+        bp, blk = f"{p}decoder.model.{1 + i}", dec[f"block_{i}"]
+        snake(f"{bp}.block.0", blk["snake"])
+        convT(f"{bp}.block.1", blk["up"])
+        res_unit(f"{bp}.block.2", blk["res1"])
+        res_unit(f"{bp}.block.3", blk["res2"])
+        res_unit(f"{bp}.block.4", blk["res3"])
+    n_dec = 1 + len(config.decoder_rates)
+    snake(f"{p}decoder.model.{n_dec}", dec["snake_out"])
+    conv(f"{p}decoder.model.{n_dec + 1}", dec["conv_out"])
+
+    q = params["quantizer"]
+    for k in range(config.num_codebooks):
+        qp = f"{p}quantizer.quantizers.{k}"
+        out[f"{qp}.codebook.weight"] = np.asarray(q["codebooks"][k])
+        wi = np.asarray(q["in_proj_kernel"][k]).T[:, :, None]   # (d_cb, latent, 1)
+        wo = np.asarray(q["out_proj_kernel"][k]).T[:, :, None]  # (latent, d_cb, 1)
+        for pt, w in ((f"{qp}.in_proj", wi), (f"{qp}.out_proj", wo)):
+            if weight_norm:
+                g, v = _split_weight_norm(np.ascontiguousarray(w), v_scale)
+                out[f"{pt}.weight_g"] = g
+                out[f"{pt}.weight_v"] = v
+            else:
+                out[f"{pt}.weight"] = np.ascontiguousarray(w)
+        out[f"{qp}.in_proj.bias"] = np.asarray(q["in_proj_bias"][k])
+        out[f"{qp}.out_proj.bias"] = np.asarray(q["out_proj_bias"][k])
+    return out

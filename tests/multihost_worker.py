@@ -1,0 +1,83 @@
+"""Worker for the 2-process multi-host training test (run via subprocess).
+
+Each process: jax.distributed.initialize over localhost (the DCN-coordination
+analogue of the reference's `accelerate launch` DDP bootstrap,
+run_parler_tts_training.py:112-120), 1 local CPU device, a ('data',) mesh over
+both processes' devices, its OWN slice of the deterministic global batch, one
+sharded train step. Prints `RESULT loss num_items` — the parent asserts both
+ranks agree and that num_items equals the single-process global token count.
+"""
+
+import os
+import sys
+
+
+def main():
+    port, pid, nprocs = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["JAX_COORDINATOR"] = f"localhost:{port}"
+    os.environ["JAX_NUM_PROCESSES"] = str(nprocs)
+    os.environ["JAX_PROCESS_ID"] = str(pid)
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    sys.path.insert(0, here)
+    sys.path.insert(0, os.path.dirname(here))  # repo root (package not installed)
+    from test_training_step import tiny_config
+
+    import numpy as np
+
+    from parler_tts_tpu.models.parler import ParlerTTS
+    from parler_tts_tpu.parallel import (
+        host_local_to_global,
+        make_mesh,
+        maybe_init_distributed,
+    )
+    from parler_tts_tpu.training import TrainState, make_optimizer, make_train_step
+    from parler_tts_tpu.training.data import DataCollatorParlerTTSWithPadding
+    from parler_tts_tpu.training.run_training import data_iterator
+
+    pi, pc = maybe_init_distributed()
+    assert pc == nprocs, (pi, pc)
+    assert jax.device_count() == nprocs
+    mesh = make_mesh(n_data=nprocs, n_model=1)
+
+    cfg = tiny_config()
+    model = ParlerTTS(cfg)
+    rng = np.random.default_rng(0)
+    feats = [
+        {
+            "labels": rng.integers(0, 88, size=(12, 4)),
+            "input_ids": list(rng.integers(0, 120, size=7)),
+            "prompt_input_ids": list(rng.integers(0, 256, size=4)),
+        }
+        for _ in range(8)
+    ]
+    params = model.init(
+        jax.random.key(0),
+        np.zeros((1, 4), np.int32), np.ones((1, 4), np.int32),
+        np.zeros((1, 3), np.int32), np.ones((1, 3), np.int32),
+        np.zeros((1, 2, 4), np.int32),
+    )["params"]
+    tx = make_optimizer(learning_rate=1e-3, warmup_steps=2)
+    state = TrainState.create(params, tx)
+    step_fn = make_train_step(model, tx, mesh=mesh)
+
+    coll = DataCollatorParlerTTSWithPadding(label_bucket=32)
+    global_bs = 4
+    it = data_iterator(feats, coll, global_bs, seed=42, epoch=0,
+                       process_index=pi, process_count=pc)
+    local_batch = next(it)
+    assert local_batch.labels.shape[0] == global_bs // pc
+    batch = host_local_to_global(local_batch, mesh)
+    state, metrics = step_fn(state, batch, jax.random.key(1))
+    loss = float(metrics["loss"])
+    num_items = float(metrics["num_items"])
+    print(f"RESULT {loss:.8f} {num_items:.1f}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

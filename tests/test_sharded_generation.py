@@ -62,3 +62,37 @@ def test_sharded_generation_with_model_parallel():
     )
     assert out.codes.shape == (4, 4, 8)
     assert np.isfinite(np.asarray(out.lengths)).all()
+
+
+def test_tensor_parallel_b1_decode_matches_single_device():
+    """Pure TP serving at B=1 — the large-model latency path (README: large-v1
+    is 2.3B): decoder weights sharded over all 8 'model' devices, batch
+    replicated. Greedy tokens must match the single-device program exactly;
+    XLA inserts the TP collectives (psum on out/fc2 rows) automatically."""
+    cfg = tiny_config()
+    model = ParlerTTS(cfg)
+    params = init_state(model, make_optimizer()).params
+    gen = GenerationConfig(
+        max_length=16, min_new_tokens=6, do_sample=False,
+        bos_token_id=BOS, pad_token_id=PAD, eos_token_id=PAD,
+    )
+    rng = np.random.default_rng(3)
+    desc = rng.integers(0, 120, (1, 9)).astype(np.int32)
+    dm = np.ones((1, 9), np.int32)
+    prompt = rng.integers(0, 256, (1, 5)).astype(np.int32)
+    pm = np.ones((1, 5), np.int32)
+
+    single = make_generate(model, gen)(params, desc, dm, prompt, pm, jax.random.key(4))
+
+    for n_model in (2, 8):
+        # pure TP: a (1, n_model) mesh — batch axis unsharded (B=1 can't split)
+        mesh = make_mesh(n_data=1, n_model=n_model,
+                         devices=jax.devices()[:n_model])
+        sharded = shard_params(params, mesh)
+        out = make_generate(model, gen, mesh=mesh)(
+            sharded, desc, dm, prompt, pm, jax.random.key(4)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out.delayed_ids), np.asarray(single.delayed_ids),
+            err_msg=f"n_model={n_model}",
+        )
