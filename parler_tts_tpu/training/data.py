@@ -63,6 +63,11 @@ class DataCollatorParlerTTSWithPadding:
     audio_max_length: Optional[int] = None
     token_bucket: int = 16
     label_bucket: int = 128
+    # hard cap on padded_prompt_len + padded_frames: the decoder's position
+    # table (max_position_embeddings) covers the prompt prefix plus the audio
+    # frames, and over-long padded batches would index past it (the model
+    # raises at trace time). Wired from the model config by the training CLI.
+    max_total_length: Optional[int] = None
 
     def _pad_tokens(self, seqs: List[np.ndarray], side: str, pad_id: int):
         target = round_to_bucket(max(len(s) for s in seqs), self.token_bucket)
@@ -78,21 +83,27 @@ class DataCollatorParlerTTSWithPadding:
         return ids, mask
 
     def __call__(self, features: Sequence[Dict[str, Any]]) -> Batch:
-        labels = [np.asarray(f["labels"], np.int64) for f in features]  # (T, K)
-        t_max = max(l.shape[0] for l in labels)
-        t_pad = self.audio_max_length or round_to_bucket(t_max, self.label_bucket)
-        k = labels[0].shape[1]
-        lab = np.full((len(labels), t_pad, k), -100, np.int64)
-        for i, l in enumerate(labels):
-            l = l[:t_pad]
-            lab[i, : l.shape[0]] = l
-
         desc = [np.asarray(f["input_ids"], np.int64) for f in features]
         desc_ids, desc_mask = self._pad_tokens(desc, "right", self.pad_token_id)
         prompt = [np.asarray(f["prompt_input_ids"], np.int64) for f in features]
         p_ids, p_mask = self._pad_tokens(
             prompt, self.prompt_padding_side, self.prompt_pad_token_id
         )
+
+        labels = [np.asarray(f["labels"], np.int64) for f in features]  # (T, K)
+        t_max = max(l.shape[0] for l in labels)
+        t_pad = self.audio_max_length or round_to_bucket(t_max, self.label_bucket)
+        if self.max_total_length is not None:
+            t_pad = min(t_pad, self.max_total_length - p_ids.shape[1])
+            assert t_pad > 0, (
+                f"padded prompt ({p_ids.shape[1]}) leaves no room for audio "
+                f"frames under max_total_length={self.max_total_length}"
+            )
+        k = labels[0].shape[1]
+        lab = np.full((len(labels), t_pad, k), -100, np.int64)
+        for i, l in enumerate(labels):
+            l = l[:t_pad]
+            lab[i, : l.shape[0]] = l
         return Batch(
             input_ids=desc_ids,
             attention_mask=desc_mask,

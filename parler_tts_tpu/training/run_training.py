@@ -204,6 +204,12 @@ def run_training(
     collator = DataCollatorParlerTTSWithPadding(
         prompt_padding_side=model_args.prompt_padding_side,
         audio_max_length=model_args.max_length if data_args.pad_to_max_length else None,
+        # keep padded prompt + frames within the decoder's position table
+        # (prompt occupies decoder positions unless it rides cross-attention)
+        max_total_length=(
+            None if cfg.prompt_cross_attention
+            else cfg.decoder.max_position_embeddings
+        ),
     )
 
     tracker = init_tracker(
@@ -553,7 +559,11 @@ def run_eval_generation(
     from .data import DataCollatorParlerTTSWithPadding
 
     coll = DataCollatorParlerTTSWithPadding(
-        prompt_padding_side=model_args.prompt_padding_side
+        prompt_padding_side=model_args.prompt_padding_side,
+        max_total_length=(
+            None if cfg.prompt_cross_attention
+            else cfg.decoder.max_position_embeddings
+        ),
     )
     batch = coll(feats)
     audios, lengths = pipe.generate(
