@@ -64,11 +64,14 @@ def build_pipeline(max_length: int, seconds_target: float):
 
     params = cast_floating(params, jnp.bfloat16)
     # fused_decode: B=1 decode steps run as ONE Pallas megakernel with int8
-    # weights (the shipped serving mode; oracle-tested in
-    # tests/test_fused_generate.py). B>1 calls fall back to the bf16 XLA path
-    # inside the same pipeline.
+    # weights (oracle-tested in tests/test_fused_generate.py). B>1 calls fall
+    # back to the bf16 XLA path inside the same pipeline. BENCH_MODE=plain
+    # selects the pure-XLA loop (measured 9.08x in round 1) for A/B runs.
+    import os
+
+    fused = os.environ.get("BENCH_MODE", "fused") != "plain"
     return ParlerTTSPipeline(model, params, dac, dac_params, gen,
-                             fused_decode=True)
+                             fused_decode=fused)
 
 
 def main():

@@ -573,3 +573,90 @@ class ParlerTTSPipeline:
             if upper > to_yield:
                 yield audio[:, to_yield - base : upper - base]
                 to_yield = upper
+
+    def stream_batch(
+        self,
+        desc_ids: np.ndarray,
+        desc_mask: Optional[np.ndarray],
+        prompt_ids: np.ndarray,
+        prompt_mask: Optional[np.ndarray],
+        play_steps: int = 86,
+        seed: int = 0,
+        incremental: bool = True,
+        context_frames: int = 64,
+    ):
+        """Batched streaming — beyond the reference (its `ParlerTTSStreamer`
+        is B=1 only, streamer.py:66): serve B concurrent streams from ONE
+        compiled chunked program, amortizing the weight streaming that bounds
+        single-stream decode.
+
+        Yields `(chunk, valid)` pairs on a uniform sample grid: `chunk` is
+        (B, S) waveform and `valid[i]` counts how many of this chunk's S
+        samples are real for stream i (0 after stream i finished; trailing
+        chunks keep flowing until the longest stream ends). Stride holdback
+        and the incremental decode window work exactly as in `stream`.
+        """
+        from ..ops.delay_pattern import undelay_pattern, valid_frame_lengths
+
+        if self._stream_fns is None:
+            self._stream_fns = make_stream_functions(self.model, self.generation_config)
+        prefill_fn, step_fn = self._stream_fns
+        dcfg = self.config.decoder
+        hop = self.config.audio_encoder.hop_length
+        stride = hop * max(play_steps - dcfg.num_codebooks, 1) // 6
+
+        state = prefill_fn(
+            self.params,
+            jnp.asarray(desc_ids),
+            jnp.asarray(desc_mask) if desc_mask is not None else None,
+            jnp.asarray(prompt_ids),
+            jnp.asarray(prompt_mask) if prompt_mask is not None else None,
+            jax.random.key(seed),
+            None,
+        )
+        max_len = self.generation_config.max_length
+        to_yield = 0
+        while True:
+            state = step_fn(self.params, state, play_steps)
+            t = int(state.t)
+            done = t >= max_len or bool(jnp.all(state.eos.eos_seen))
+            if t <= dcfg.num_codebooks:
+                if done:
+                    return
+                continue
+            codes = undelay_pattern(state.out_ids[:, :, :t], dcfg.num_codebooks)
+            lengths = np.asarray(valid_frame_lengths(codes, dcfg.pad_token_id))
+            n_max = int(lengths.max())
+            if n_max == 0:
+                if done:
+                    return
+                continue
+            if incremental:
+                w0 = max(0, to_yield // hop - context_frames)
+                m = min(_round_up(n_max - w0, play_steps), codes.shape[-1] - w0)
+                window = jnp.clip(
+                    codes[:, :, w0 : w0 + m],
+                    0, self.config.audio_encoder.codebook_size - 1,
+                )
+                audio = np.asarray(
+                    self._decode_fn_for(m)(self.dac_params, window)
+                )[:, : (n_max - w0) * hop, 0]
+                base = w0 * hop
+            else:
+                m = min(_round_up(n_max, play_steps), codes.shape[-1])
+                audio = np.asarray(
+                    self._decode_fn_for(m)(
+                        self.dac_params,
+                        jnp.clip(codes[:, :, :m], 0, self.config.audio_encoder.codebook_size - 1),
+                    )
+                )[:, : n_max * hop, 0]
+                base = 0
+            total = base + audio.shape[1]  # == n_max * hop
+            upper = total if done else max(total - stride, to_yield)
+            if upper > to_yield:
+                width = upper - to_yield
+                valid = np.clip(lengths * hop - to_yield, 0, width).astype(np.int64)
+                yield audio[:, to_yield - base : upper - base], valid
+                to_yield = upper
+            if done:
+                return

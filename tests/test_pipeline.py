@@ -224,6 +224,44 @@ def test_stream_incremental_matches_full_decode(pipe):
     np.testing.assert_allclose(inc96, full96, atol=1e-4)
 
 
+def test_stream_batch_matches_single_stream(pipe):
+    """Batched streaming (beyond the reference's B=1 streamer): a batch of two
+    IDENTICAL rows under greedy decoding must yield chunk-for-chunk exactly
+    what the (already-tested) B=1 `stream` path yields, in both rows."""
+    desc, dm, prompt, pm = _ids(seed=6, b=1)
+    single = list(pipe.stream(desc, dm, prompt, pm, play_steps=6, seed=21))
+
+    d2, m2 = np.tile(desc, (2, 1)), np.tile(dm, (2, 1))
+    p2, q2 = np.tile(prompt, (2, 1)), np.tile(pm, (2, 1))
+    batched = list(pipe.stream_batch(d2, m2, p2, q2, play_steps=6, seed=21))
+    assert len(batched) == len(single)
+    for (chunk, valid), ref_chunk in zip(batched, single):
+        assert chunk.shape == (2, ref_chunk.shape[1])
+        np.testing.assert_array_equal(valid[0], valid[1])
+        for i in range(2):
+            # B=2 vs B=1 compile to different fusions — tiny fp drift only
+            np.testing.assert_allclose(chunk[i], ref_chunk[0], atol=1e-3)
+
+
+def test_stream_batch_per_stream_accounting(pipe):
+    """Heterogeneous batch: per-stream valid sample counts must total exactly
+    the offline per-stream audio lengths (streams that finish early go quiet
+    while the longest stream keeps flowing)."""
+    desc, dm, prompt, pm = _ids(seed=6, b=2)
+    _, lengths = pipe.generate(desc, prompt, desc_mask=dm, prompt_mask=pm,
+                               seed=21)
+    hop = CFG.audio_encoder.hop_length
+
+    got = np.zeros(2, np.int64)
+    for chunk, valid in pipe.stream_batch(desc, dm, prompt, pm, play_steps=6,
+                                          seed=21):
+        assert chunk.shape[0] == 2 and valid.shape == (2,)
+        assert (valid >= 0).all() and (valid <= chunk.shape[1]).all()
+        got += valid
+    np.testing.assert_array_equal(got, np.asarray(lengths, np.int64))  # samples
+    assert got.sum() > 0
+
+
 def test_decode_codes_bucketing(pipe):
     desc, dm, prompt, pm = _ids(seed=4)
     out = pipe.generate_codes(desc, dm, prompt, pm, seed=2)
