@@ -22,7 +22,7 @@ functional flax modules:
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Any, Optional, Tuple
 
 import flax.linen as nn
 import flax.struct
@@ -101,18 +101,21 @@ class QuantDense(nn.Module):
     """Weight-only int8 linear: int8 kernel + per-output-channel scales.
 
     Serving-mode replacement for the hot nn.Dense matmuls — halves the HBM
-    weight traffic that bounds B=1 decode (see utils/quantize.py). The int8 ->
-    compute-dtype cast happens in-register after the 1-byte HBM read; the
-    scale multiply fuses into the matmul epilogue.
+    weight traffic that bounds B=1 decode (see utils/quantize.py). Two
+    implementations:
+      - "pallas": the dequant-matmul kernel (1-byte HBM reads, in-VMEM
+        dequant, fused scale epilogue);
+      - "xla": plain dot over w_q.astype(dtype) * scale — XLA streams the
+        int8 bytes and fuses the convert into the dot's operand read, which
+        on v5e beats the Pallas DMA pipeline's byte rate.
     """
 
     features: int
     dtype: jnp.dtype = jnp.bfloat16
+    impl: str = "pallas"
 
     @nn.compact
     def __call__(self, x):
-        from ..ops.pallas.quant_matmul import quant_matmul
-
         w_q = self.param(
             "w_q", nn.initializers.zeros, (x.shape[-1], self.features), jnp.int8
         )
@@ -120,7 +123,17 @@ class QuantDense(nn.Module):
             "scale", nn.initializers.ones, (self.features,), jnp.float32
         )
         shape = x.shape
-        y = quant_matmul(x.reshape(-1, shape[-1]).astype(self.dtype), w_q, scale)
+        if self.impl == "xla":
+            y = jnp.dot(
+                x.reshape(-1, shape[-1]).astype(self.dtype),
+                w_q.astype(self.dtype),
+                preferred_element_type=jnp.float32,
+            ) * scale[None, :]
+            y = y.astype(self.dtype)
+        else:
+            from ..ops.pallas.quant_matmul import quant_matmul
+
+            y = quant_matmul(x.reshape(-1, shape[-1]).astype(self.dtype), w_q, scale)
         return y.reshape(*shape[:-1], self.features)
 
 
@@ -132,14 +145,16 @@ class Attention(nn.Module):
     dtype: jnp.dtype = jnp.float32
     use_flash_decode: bool = False       # opt-in Pallas kernel for T==1 decode
     use_chunked_attention: bool = False  # O(T*chunk)-memory training attention
-    weight_quant: bool = False           # int8 weight-only serving mode
+    weight_quant: Any = False            # int8 serving: False | True (pallas) | "xla"
     fused_qkv: bool = False              # serving: one q|k|v matmul per layer
 
     def setup(self):
         cfg = self.config
         d, dh = cfg.hidden_size, cfg.head_dim
         if self.weight_quant:
-            dense = lambda feats, name: QuantDense(feats, self.dtype, name=name)  # noqa: E731
+            # weight_quant may be True (pallas kernel) or "xla" (fused-convert dot)
+            impl = "xla" if self.weight_quant == "xla" else "pallas"
+            dense = lambda feats, name: QuantDense(feats, self.dtype, impl, name=name)  # noqa: E731
         else:
             dense = lambda feats, name: nn.Dense(  # noqa: E731
                 feats, use_bias=False, dtype=self.dtype, name=name,
@@ -281,7 +296,7 @@ class DecoderLayer(nn.Module):
     dtype: jnp.dtype = jnp.float32
     use_flash_decode: bool = False
     use_chunked_attention: bool = False
-    weight_quant: bool = False
+    weight_quant: Any = False  # False | True (pallas) | "xla"
     fused_qkv: bool = False
 
     def setup(self):
@@ -301,8 +316,9 @@ class DecoderLayer(nn.Module):
         )
         self.encoder_attn_layer_norm = ln("encoder_attn_layer_norm")
         if self.weight_quant:
-            self.fc1 = QuantDense(cfg.ffn_dim, self.dtype, name="fc1")
-            self.fc2 = QuantDense(cfg.hidden_size, self.dtype, name="fc2")
+            impl = "xla" if self.weight_quant == "xla" else "pallas"
+            self.fc1 = QuantDense(cfg.ffn_dim, self.dtype, impl, name="fc1")
+            self.fc2 = QuantDense(cfg.hidden_size, self.dtype, impl, name="fc2")
         else:
             self.fc1 = nn.Dense(cfg.ffn_dim, use_bias=False, dtype=self.dtype, name="fc1",
                                 kernel_init=nn.initializers.normal(cfg.initializer_factor))
@@ -374,7 +390,7 @@ class ParlerDecoder(nn.Module):
     dtype: jnp.dtype = jnp.float32
     use_flash_decode: bool = False
     use_chunked_attention: bool = False
-    weight_quant: bool = False
+    weight_quant: Any = False  # False | True (pallas) | "xla"
     remat_layers: bool = False  # per-layer rematerialization for long-T training
     fused_qkv: bool = False
 
@@ -523,7 +539,7 @@ class ParlerForCausalLM(nn.Module):
     dtype: jnp.dtype = jnp.float32
     use_flash_decode: bool = False
     use_chunked_attention: bool = False
-    weight_quant: bool = False
+    weight_quant: Any = False  # False | True (pallas) | "xla"
     remat_layers: bool = False
     fused_qkv: bool = False
 

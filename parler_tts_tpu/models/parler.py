@@ -19,7 +19,7 @@ RoPE positions do not (mask-cumsum, modeling:1506-1534).
 
 from __future__ import annotations
 
-from typing import Dict, Mapping, Optional, Tuple
+from typing import Any, Dict, Mapping, Optional, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -38,7 +38,7 @@ class ParlerTTS(nn.Module):
     dtype: jnp.dtype = jnp.float32
     use_flash_decode: bool = False
     use_chunked_attention: bool = False  # O(T*chunk)-memory training attention
-    weight_quant: bool = False           # int8 weight-only serving mode
+    weight_quant: Any = False            # int8 serving: False | True (pallas) | "xla"
     remat_layers: bool = False           # per-layer remat for long-T training
     fused_qkv: bool = False              # serving: one q|k|v matmul per layer
 

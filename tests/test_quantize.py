@@ -91,3 +91,24 @@ def test_quant_matmul_kernel_matches_reference():
     got2 = quant_matmul(x2, w_q, scale, block_n=128, block_k=512, interpret=True)
     want2 = quant_matmul_reference(x2, w_q, scale)
     np.testing.assert_allclose(np.asarray(got2), np.asarray(want2), atol=1e-4, rtol=1e-3)
+
+
+def test_xla_impl_matches_pallas_impl():
+    """weight_quant="xla" (fused-convert dot) must produce the same logits as
+    the Pallas dequant kernel up to fp accumulation noise — they consume the
+    SAME quantized params."""
+    cfg = tiny_config()
+    pallas_m = ParlerTTS(cfg, weight_quant=True)
+    xla_m = ParlerTTS(cfg, weight_quant="xla")
+    params = init_state(ParlerTTS(cfg), make_optimizer()).params
+    qparams = quantize_decoder_params(params)
+
+    batch = make_batch(b=2, seed=5)
+    args = (batch.input_ids, batch.attention_mask, batch.prompt_input_ids,
+            batch.prompt_attention_mask, batch.labels)
+    la, _ = pallas_m.apply({"params": qparams}, *args)
+    lb, _ = xla_m.apply({"params": qparams}, *args)
+    a, b = np.asarray(la), np.asarray(lb)
+    rel = np.abs(a - b).max() / (np.abs(a).max() + 1e-9)
+    assert rel < 2e-2, f"impl mismatch rel err {rel}"
+    assert (a.argmax(-1) == b.argmax(-1)).mean() > 0.99
