@@ -63,13 +63,14 @@ def build_pipeline(max_length: int, seconds_target: float):
     from parler_tts_tpu.utils.dtypes import cast_floating
 
     params = cast_floating(params, jnp.bfloat16)
-    # fused_decode: B=1 decode steps run as ONE Pallas megakernel with int8
-    # weights (oracle-tested in tests/test_fused_generate.py). B>1 calls fall
-    # back to the bf16 XLA path inside the same pipeline. BENCH_MODE=plain
-    # selects the pure-XLA loop (measured 9.08x in round 1) for A/B runs.
+    # Serving mode: A/B-measured e2e on v5e (benchmarks/decode_step.py,
+    # /tmp/ab.log 2026-08-17): plain bf16 XLA loop 9.07x vs fused megakernel
+    # 8.41x over a full 860-step generation — the megakernel's short-prefix
+    # win inverts once the KV prefix grows, so plain is the default.
+    # BENCH_MODE=fused selects the Pallas megakernel for A/B runs.
     import os
 
-    fused = os.environ.get("BENCH_MODE", "fused") != "plain"
+    fused = os.environ.get("BENCH_MODE", "plain") == "fused"
     return ParlerTTSPipeline(model, params, dac, dac_params, gen,
                              fused_decode=fused)
 
