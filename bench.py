@@ -63,16 +63,22 @@ def build_pipeline(max_length: int, seconds_target: float):
     from parler_tts_tpu.utils.dtypes import cast_floating
 
     params = cast_floating(params, jnp.bfloat16)
-    # Serving mode: A/B-measured e2e on v5e (benchmarks/decode_step.py,
-    # /tmp/ab.log 2026-08-17): plain bf16 XLA loop 9.07x vs fused megakernel
-    # 8.41x over a full 860-step generation — the megakernel's short-prefix
-    # win inverts once the KV prefix grows, so plain is the default.
-    # BENCH_MODE=fused selects the Pallas megakernel for A/B runs.
+    # Serving mode, A/B-measured e2e on v5e (benchmarks/decode_step.py):
+    # plain bf16 XLA loop 9.07x vs fused int8 megakernel 8.41x over a full
+    # 860-step generation — the megakernel's short-prefix win inverts once
+    # the KV prefix grows. BENCH_MODE selects: plain (default) | fused
+    # (Pallas megakernel) | xq (int8 weights streamed by XLA, convert fused
+    # into the dot).
     import os
 
-    fused = os.environ.get("BENCH_MODE", "plain") == "fused"
+    mode = os.environ.get("BENCH_MODE", "plain")
+    if mode == "xq":
+        from parler_tts_tpu.utils.quantize import quantize_decoder_params
+
+        model = ParlerTTS(cfg, dtype=jnp.bfloat16, weight_quant="xla")
+        params = quantize_decoder_params(params)
     return ParlerTTSPipeline(model, params, dac, dac_params, gen,
-                             fused_decode=fused)
+                             fused_decode=(mode == "fused"))
 
 
 def main():

@@ -5,6 +5,7 @@ Usage: python benchmarks/decode_step.py [plain|fq|wq|xq|mega] [max_length]
 Modes map to the serving options documented in INFERENCE.md:
   plain — bf16 XLA while_loop (the default pipeline)
   fq    — fused_qkv=True (one q|k|v matmul per layer)
+  fd    — use_flash_decode=True (Pallas prefix-bounded cache attention)
   wq    — weight_quant=True (Pallas int8 dequant-matmul kernel)
   xq    — weight_quant="xla" (int8 weights, convert fused into the dot)
   mega  — fused_decode=True (whole layer stack as one Pallas megakernel)
@@ -65,6 +66,8 @@ def main():
     kw = {}
     if mode == "fq":
         kw["fused_qkv"] = True
+    elif mode == "fd":
+        model = ParlerTTS(cfg, dtype=jnp.bfloat16, use_flash_decode=True)
     elif mode == "mega":
         kw["fused_decode"] = True
     elif mode in ("wq", "xq"):
