@@ -507,6 +507,11 @@ def generate_tokens_decoder_only(
     """
     dcfg = model.config.decoder
     k_cb, max_len = dcfg.num_codebooks, gen.max_length
+    if max_len > dcfg.max_position_embeddings:
+        raise ValueError(
+            f"max_length ({max_len}) exceeds "
+            f"max_position_embeddings={dcfg.max_position_embeddings}"
+        )
     b = batch_size
     variables = {"params": params}
 
@@ -621,6 +626,14 @@ def make_stream_functions(model: ParlerTTS, gen: GenerationConfig, cache_dtype=j
     def prefill_fn(params, desc_ids, desc_mask, prompt_ids, prompt_mask, rng,
                    decoder_prompt_codes=None):
         b = desc_ids.shape[0]
+        # same trace-time guard as generate_tokens: positions past the table
+        # would silently produce NaN audio (shapes are static under jit)
+        span = (0 if cfg.prompt_cross_attention else prompt_ids.shape[1]) + max_len
+        if span > dcfg.max_position_embeddings:
+            raise ValueError(
+                f"prompt ({prompt_ids.shape[1]}) + max_length ({max_len}) exceeds "
+                f"max_position_embeddings={dcfg.max_position_embeddings}"
+            )
         variables = {"params": params}
         if desc_mask is None:
             desc_mask = jnp.ones_like(desc_ids)

@@ -198,6 +198,10 @@ class ParlerTTSPipeline:
             # serial dispatches per decode step — the B=1 bottleneck,
             # INFERENCE.md profile); bias-free so numerics are identical
             assert not fused_decode, "fused_qkv and fused_decode are exclusive"
+            if getattr(model, "weight_quant", False):
+                # quantized projections hold w_q + per-channel scales, not
+                # 'kernel' — concatenation would also need scale merging
+                raise ValueError("fused_qkv does not support weight_quant models")
             from ..models.parler import fuse_qkv_params
 
             model = model.clone(fused_qkv=True)
@@ -542,28 +546,9 @@ class ParlerTTSPipeline:
                 if done:
                     return
                 continue
-            if incremental:
-                # trailing window only: [w0, n) with w0 far enough behind the
-                # first sample we will emit that boundary effects are gone
-                w0 = max(0, to_yield // hop - context_frames)
-                m = min(_round_up(n - w0, play_steps), codes.shape[-1] - w0)
-                window = jnp.clip(
-                    codes[:, :, w0 : w0 + m],
-                    0, self.config.audio_encoder.codebook_size - 1,
-                )
-                audio = np.asarray(
-                    self._decode_fn_for(m)(self.dac_params, window)
-                )[:, : (n - w0) * hop, 0]
-                base = w0 * hop
-            else:
-                m = min(_round_up(n, play_steps), codes.shape[-1])
-                audio = np.asarray(
-                    self._decode_fn_for(m)(
-                        self.dac_params,
-                        jnp.clip(codes[:, :, :m], 0, self.config.audio_encoder.codebook_size - 1),
-                    )
-                )[:, : n * hop, 0]
-                base = 0
+            audio, base = self._decode_stream_window(
+                codes, n, to_yield, play_steps, incremental, context_frames
+            )
             total = base + audio.shape[1]
             if done:
                 if total > to_yield:
@@ -573,6 +558,25 @@ class ParlerTTSPipeline:
             if upper > to_yield:
                 yield audio[:, to_yield - base : upper - base]
                 to_yield = upper
+
+    def _decode_stream_window(self, codes, n, to_yield, play_steps,
+                              incremental, context_frames):
+        """Codec-decode the frames needed for the next flush.
+
+        incremental: decode only the trailing window [w0, n) with w0 far
+        enough behind the first emitted sample that conv boundary effects
+        from the missing earlier history are fully decayed. Returns
+        (audio (B, S), base) where `base` is the sample offset of audio[:, 0].
+        """
+        hop = self.config.audio_encoder.hop_length
+        cb_max = self.config.audio_encoder.codebook_size - 1
+        w0 = max(0, to_yield // hop - context_frames) if incremental else 0
+        m = min(_round_up(n - w0, play_steps), codes.shape[-1] - w0)
+        window = jnp.clip(codes[:, :, w0 : w0 + m], 0, cb_max)
+        audio = np.asarray(
+            self._decode_fn_for(m)(self.dac_params, window)
+        )[:, : (n - w0) * hop, 0]
+        return audio, w0 * hop
 
     def stream_batch(
         self,
@@ -631,26 +635,9 @@ class ParlerTTSPipeline:
                 if done:
                     return
                 continue
-            if incremental:
-                w0 = max(0, to_yield // hop - context_frames)
-                m = min(_round_up(n_max - w0, play_steps), codes.shape[-1] - w0)
-                window = jnp.clip(
-                    codes[:, :, w0 : w0 + m],
-                    0, self.config.audio_encoder.codebook_size - 1,
-                )
-                audio = np.asarray(
-                    self._decode_fn_for(m)(self.dac_params, window)
-                )[:, : (n_max - w0) * hop, 0]
-                base = w0 * hop
-            else:
-                m = min(_round_up(n_max, play_steps), codes.shape[-1])
-                audio = np.asarray(
-                    self._decode_fn_for(m)(
-                        self.dac_params,
-                        jnp.clip(codes[:, :, :m], 0, self.config.audio_encoder.codebook_size - 1),
-                    )
-                )[:, : n_max * hop, 0]
-                base = 0
+            audio, base = self._decode_stream_window(
+                codes, n_max, to_yield, play_steps, incremental, context_frames
+            )
             total = base + audio.shape[1]  # == n_max * hop
             upper = total if done else max(total - stride, to_yield)
             if upper > to_yield:

@@ -9,10 +9,13 @@ rounded up to a bucket boundary so the train step compiles a handful of times.
 
 from __future__ import annotations
 
+import logging
 from dataclasses import dataclass
 from typing import Any, Dict, List, Optional, Sequence
 
 import numpy as np
+
+logger = logging.getLogger(__name__)
 
 from .train_state import Batch
 
@@ -94,11 +97,24 @@ class DataCollatorParlerTTSWithPadding:
         t_max = max(l.shape[0] for l in labels)
         t_pad = self.audio_max_length or round_to_bucket(t_max, self.label_bucket)
         if self.max_total_length is not None:
-            t_pad = min(t_pad, self.max_total_length - p_ids.shape[1])
-            assert t_pad > 0, (
-                f"padded prompt ({p_ids.shape[1]}) leaves no room for audio "
-                f"frames under max_total_length={self.max_total_length}"
-            )
+            capped = min(t_pad, self.max_total_length - p_ids.shape[1])
+            if capped <= 0:
+                raise ValueError(
+                    f"padded prompt ({p_ids.shape[1]}) leaves no room for audio "
+                    f"frames under max_total_length={self.max_total_length}"
+                )
+            if capped < t_max:
+                # truncation cuts the delay-pattern tail (and its EOS
+                # supervision) from over-long rows — a safety net, not a
+                # filter; configure the duration/token-length filters so rows
+                # fit (reference run_parler_tts_training.py:574-638)
+                logger.warning(
+                    "truncating labels %d -> %d frames to fit max_total_length=%d "
+                    "(prompt %d); over-long rows lose EOS supervision — prefer "
+                    "duration filtering",
+                    t_max, capped, self.max_total_length, p_ids.shape[1],
+                )
+            t_pad = capped
         k = labels[0].shape[1]
         lab = np.full((len(labels), t_pad, k), -100, np.int64)
         for i, l in enumerate(labels):
@@ -205,10 +221,21 @@ def load_multiple_datasets(
         ds = load_dataset(
             spec["name"], spec["config"], split=spec["split"], streaming=streaming, **kw
         )
-        audio_cols = [c for c, f in ds.features.items() if getattr(f, "sampling_rate", None)]
+        # streaming IterableDatasets may expose features=None until resolved
+        audio_cols = [c for c, f in (ds.features or {}).items()
+                      if getattr(f, "sampling_rate", None)]
         for c in audio_cols:
             ds = ds.cast_column(c, Audio(sampling_rate=sampling_rate))
         if spec.get("metadata_dataset_name"):
+            if streaming:
+                # `datasets` cannot axis=1-concatenate IterableDatasets, and
+                # the full-corpus id check below needs a materialized join
+                # (the reference has the same constraint — its len(filter(...))
+                # at data.py:279-284 also requires a map-style dataset)
+                raise ValueError(
+                    "metadata_dataset joins require streaming=False; "
+                    "pre-join the metadata or disable streaming"
+                )
             meta = load_dataset(
                 spec["metadata_dataset_name"], spec["config"], split=spec["split"],
                 streaming=streaming, **kw,
@@ -219,10 +246,9 @@ def load_multiple_datasets(
             meta = meta.remove_columns(dup)
             ds = concatenate_datasets([ds, meta], axis=1)
             # FULL-corpus id-consistency verification (reference data.py:273-288
-            # filters the whole joined dataset for id != metadata_id); streaming
-            # joins can't be materialized, so they are checked lazily per-row by
-            # the consumer instead.
-            if id_column_name is not None and not streaming:
+            # filters the whole joined dataset for id != metadata_id); the
+            # streaming+metadata combination is rejected above.
+            if id_column_name is not None:
                 mism = ds.filter(
                     lambda a, b: a != b,
                     input_columns=[id_column_name, f"metadata_{id_column_name}"],

@@ -123,6 +123,11 @@ def data_iterator(features: List[dict], collator, batch_size: int, seed: int, ep
     The caller reassembles global arrays via `host_local_to_global`."""
     rng = np.random.default_rng(seed + epoch)
     order = rng.permutation(len(features))
+    if batch_size % process_count != 0:
+        raise ValueError(
+            f"global batch {batch_size} not divisible by {process_count} "
+            "processes — rows would be silently dropped"
+        )
     local = batch_size // process_count
     sl = slice(process_index * local, (process_index + 1) * local)
     for i in range(0, len(order) - batch_size + 1, batch_size):
@@ -263,7 +268,7 @@ def run_training(
             if step % training_args.save_steps == 0:
                 save_state(state, step, epoch)
             if eval_features and step % training_args.eval_steps == 0:
-                run_eval(model, state, collator, eval_features, training_args, tracker, step, epoch)
+                run_eval(model, state, collator, eval_features, training_args, tracker, step, epoch, mesh=mesh)
                 gen_every = training_args.eval_generation_steps or training_args.eval_steps
                 if dac is not None and dac_params is not None and step % gen_every == 0:
                     run_eval_generation(
@@ -274,10 +279,8 @@ def run_training(
         if step >= total_steps:
             break
 
-    host_state = jax.tree.map(np.asarray, state)
-    save_train_state(host_state, training_args.output_dir, step, epoch,
-                     training_args.save_total_limit)
-    return state, step
+    save_state(state, step, epoch)  # multi-process-aware (np.asarray would
+    return state, step              # fail on non-addressable sharded leaves)
 
 
 def main(argv=None):
@@ -498,9 +501,14 @@ def export_and_push(output_dir: str, export_dir: str, cfg, dac_params,
     return export_dir
 
 
-def run_eval(model, state, collator, eval_features, training_args, tracker, step, epoch):
+def run_eval(model, state, collator, eval_features, training_args, tracker, step, epoch,
+             mesh=None):
     """Eval loss loop (reference :1125-1135); generation metrics are wired via
-    training.eval_metrics when their optional deps exist."""
+    training.eval_metrics when their optional deps exist.
+
+    Multi-host: every process collates the same deterministic global batch,
+    keeps its row slice, and reassembles global arrays — params sharded over
+    the multi-host mesh cannot be applied to host-local inputs."""
     from ..ops.losses import mean_loss_reference_style
 
     dcfg = model.config.decoder
@@ -520,11 +528,19 @@ def run_eval(model, state, collator, eval_features, training_args, tracker, step
         )
         return loss, per_cb
 
+    pc = jax.process_count()
     losses = []
     bs = training_args.per_device_eval_batch_size * max(jax.device_count(), 1)
     for i in range(0, len(eval_features) - bs + 1, bs):
         batch = collator(eval_features[i : i + bs])
-        loss, _ = eval_loss(state.params, jax.tree.map(jnp.asarray, batch))
+        if pc > 1:
+            from ..parallel.distributed import host_local_to_global, local_batch_slice
+
+            sl = local_batch_slice(bs)
+            batch = host_local_to_global(jax.tree.map(lambda x: x[sl], batch), mesh)
+        else:
+            batch = jax.tree.map(jnp.asarray, batch)
+        loss, _ = eval_loss(state.params, batch)
         losses.append(float(loss))
     if losses:
         log_metric(tracker, {"loss": float(np.mean(losses))}, 0.0, step, epoch, prefix="eval")
@@ -539,6 +555,12 @@ def run_eval_generation(
     compute_metrics, run_parler_tts_training.py:1137-1206): synthesize a few
     eval samples, score WER/CLAP/SI-SDR when the optional deps exist, and log
     transcription tables + audio clips."""
+    if jax.process_count() > 1:
+        # the generate pipeline applies params on one host; multi-host-sharded
+        # params are non-addressable here. Eval LOSS still runs (run_eval);
+        # generation metrics need a single-host restore of the checkpoint.
+        logger.warning("skipping eval generation under multi-host training")
+        return None
     from ..runtime.pipeline import ParlerTTSPipeline
     from .eval_metrics import clap_similarity, si_sdr, wer
 
