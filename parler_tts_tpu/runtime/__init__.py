@@ -3,6 +3,7 @@ from .generate import (
     GenLoopState,
     StreamState,
     generate_tokens,
+    generate_tokens_decoder_only,
     make_generate,
     make_stream_functions,
 )
@@ -12,6 +13,7 @@ __all__ = [
     "GenLoopState",
     "StreamState",
     "generate_tokens",
+    "generate_tokens_decoder_only",
     "make_generate",
     "make_stream_functions",
 ]

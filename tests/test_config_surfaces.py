@@ -126,3 +126,53 @@ def test_layerdrop_skips_layers():
     np.testing.assert_allclose(run(params, 1.0, False), run(scrambled, 1.0, False))
     # no drop -> layer params matter
     assert not np.allclose(run(params, 0.0, True), run(scrambled, 0.0, True))
+
+
+def test_decoder_only_generate():
+    """Decoder-only generation (reference ParlerTTSForCausalLM.generate,
+    modeling:2071-2298): no text encoder, optional cross-attention states and
+    audio-prompt codes; output shapes/lengths must be sane and the voice
+    prompt must be preserved in the undelayed codes."""
+    import jax.numpy as jnp
+
+    from parler_tts_tpu.models.parler import ParlerTTS
+    from parler_tts_tpu.runtime import generate_tokens_decoder_only
+    from test_training_step import tiny_config
+
+    cfg = tiny_config()
+    k = cfg.decoder.num_codebooks
+    gen = GenerationConfig(max_length=20, min_new_tokens=8, do_sample=False,
+                           bos_token_id=BOS, pad_token_id=PAD, eos_token_id=PAD)
+    model = ParlerTTS(cfg)
+    rng = np.random.default_rng(4)
+    desc = jnp.asarray(rng.integers(0, 120, (2, 7)), jnp.int32)
+    dm = jnp.ones((2, 7), jnp.int32)
+    prompt = jnp.asarray(rng.integers(0, 256, (2, 5)), jnp.int32)
+    pm = jnp.ones((2, 5), jnp.int32)
+    labels = jnp.asarray(rng.integers(0, PAD, (2, 6, k)), jnp.int32)
+    params = model.init(jax.random.key(0), desc, dm, prompt, pm, labels)["params"]
+
+    # unconditional (no encoder states at all)
+    out = generate_tokens_decoder_only(model, gen, params, jax.random.key(1),
+                                       batch_size=2)
+    assert out.codes.shape[:2] == (2, k)
+    assert np.asarray(out.lengths).min() >= 0
+
+    # with cross-attention states + an audio prompt: the undelayed codes must
+    # START with the prompt codes (continuation semantics, modeling:3136-3194)
+    enc = jnp.asarray(rng.normal(size=(2, 3, cfg.decoder.hidden_size)), jnp.float32)
+    voice = jnp.asarray(rng.integers(0, PAD, (2, k, 3)), jnp.int32)
+    out2 = generate_tokens_decoder_only(
+        model, gen, params, jax.random.key(2), batch_size=2,
+        encoder_hidden_states=enc, encoder_mask=jnp.ones((2, 3), jnp.int32),
+        decoder_prompt_codes=voice,
+    )
+    np.testing.assert_array_equal(np.asarray(out2.codes)[:, :, :3], np.asarray(voice))
+
+    # position-table guard fires for oversized max_length
+    import pytest as _pytest
+    bad = GenerationConfig(max_length=4096, do_sample=False, bos_token_id=BOS,
+                           pad_token_id=PAD, eos_token_id=PAD)
+    with _pytest.raises(ValueError, match="max_position_embeddings"):
+        generate_tokens_decoder_only(model, bad, params, jax.random.key(3),
+                                     batch_size=1)
