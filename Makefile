@@ -1,6 +1,6 @@
 .PHONY: style quality test bench
 
-check_dirs := parler_tts_tpu tests helpers bench.py __graft_entry__.py
+check_dirs := parler_tts_tpu tests helpers benchmarks bench.py __graft_entry__.py
 
 style:
 	python -m ruff check --fix $(check_dirs) 2>/dev/null || true
