@@ -78,6 +78,17 @@ def main():
     num_items = float(metrics["num_items"])
     print(f"RESULT {loss:.8f} {num_items:.1f}", flush=True)
 
+    # the multi-host eval path: every process slices the same global eval
+    # batch and reassembles global arrays against the mesh-sharded params
+    from parler_tts_tpu.training.arguments import TrainingArguments
+    from parler_tts_tpu.training.run_training import run_eval
+
+    eval_loss = run_eval(
+        model, state, coll, feats, TrainingArguments(per_device_eval_batch_size=2),
+        None, 1, 0, mesh=mesh,
+    )
+    print(f"EVAL {eval_loss:.8f}", flush=True)
+
 
 if __name__ == "__main__":
     main()

@@ -41,14 +41,19 @@ def test_two_process_training_step_invariants():
     outs = [p.communicate(timeout=900)[0] for p in procs]
     for p, out in zip(procs, outs):
         assert p.returncode == 0, f"worker failed:\n{out[-3000:]}"
-    results = []
+    results, evals = [], []
     for out in outs:
         lines = [l for l in out.splitlines() if l.startswith("RESULT")]
         assert lines, out[-2000:]
         _, loss, items = lines[0].split()
         results.append((float(loss), float(items)))
-    # both ranks observe the SAME psum'd loss and global token count
+        eval_lines = [l for l in out.splitlines() if l.startswith("EVAL")]
+        assert eval_lines, out[-2000:]
+        evals.append(float(eval_lines[0].split()[1]))
+    # both ranks observe the SAME psum'd loss and global token count,
+    # and the multi-host eval path agrees across ranks too
     assert results[0] == results[1], results
+    assert evals[0] == evals[1] and np.isfinite(evals[0]), evals
 
     # single-process ground truth over the same global batch
     from parler_tts_tpu.models.parler import ParlerTTS
