@@ -109,6 +109,33 @@ def apply_top_p(logits: jnp.ndarray, top_p: float) -> jnp.ndarray:
     return jnp.where(logits < thresh, NEG_INF, logits)
 
 
+def speculative_accept(
+    p: jnp.ndarray,      # (..., V) target probability vectors (normalized)
+    q: jnp.ndarray,      # (..., V) proposal probability vectors (normalized)
+    cand: jnp.ndarray,   # (...,) int proposal tokens, drawn from q
+    u: jnp.ndarray,      # (...,) uniforms in [0, 1)
+    gumbel: jnp.ndarray,  # (..., V) Gumbel(0,1) noise for the residual draw
+):
+    """Standard speculative-sampling rejection step (Leviathan et al. 2023;
+    applied draft-free per SJD, arXiv 2410.01699): accept `cand` with
+    probability min(1, p/q); otherwise draw from the normalized residual
+    (p - q)^+. The returned token is exactly distributed as `p` whenever
+    `cand` ~ q and (u, gumbel) are independent of it.
+
+    Returns (final_tokens, accepted_mask). The residual draw uses Gumbel-argmax
+    over log of the UNnormalized residual (argmax is normalization-invariant),
+    with a fallback to `p` when the residual is numerically empty (p == q).
+    """
+    p_c = jnp.take_along_axis(p, cand[..., None], axis=-1)[..., 0]
+    q_c = jnp.take_along_axis(q, cand[..., None], axis=-1)[..., 0]
+    accepted = u * q_c < p_c  # P[accept] = min(1, p_c / q_c)
+    residual = jnp.clip(p - q, 0.0, None)
+    empty = residual.sum(axis=-1, keepdims=True) <= 1e-9
+    residual = jnp.where(empty, p, residual)
+    alt = jnp.argmax(jnp.log(residual + 1e-30) + gumbel, axis=-1).astype(cand.dtype)
+    return jnp.where(accepted, cand, alt), accepted
+
+
 def sample_tokens(
     rng: jax.Array,
     logits: jnp.ndarray,

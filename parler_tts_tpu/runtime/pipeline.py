@@ -188,6 +188,7 @@ class ParlerTTSPipeline:
         pad_to_multiple: int = 16,
         fused_decode: bool = False,
         fused_qkv: bool = False,
+        speculative_window: Optional[int] = None,
     ):
         from ..utils.compile_cache import enable_compilation_cache
 
@@ -239,6 +240,23 @@ class ParlerTTSPipeline:
                 )
             )
             self._generate_fused_fn = make_generate_fused(model, self.generation_config)
+        # opt-in serving mode: speculative multi-column decoding
+        # (runtime/speculative.py) — W candidate columns verified per forward.
+        # Greedy output is token-identical to the plain loop; sampling is
+        # distribution-preserving (different rng consumption). The accepted
+        # column count per forward is data/checkpoint-dependent; stats from
+        # the last call land in `self.last_spec_stats`.
+        self._generate_spec_fn = None
+        self.last_spec_stats = None
+        if speculative_window is not None:
+            assert not fused_decode, (
+                "speculative_window and fused_decode are exclusive"
+            )
+            from .speculative import make_generate_speculative
+
+            self._generate_spec_fn = make_generate_speculative(
+                model, self.generation_config, window=speculative_window
+            )
         self._stream_fns = None
         # jax.jit caches one compiled program per codes shape; bucketing keeps
         # the number of shapes small
@@ -247,9 +265,6 @@ class ParlerTTSPipeline:
                 {"params": dac_params}, codes, method="decode"
             )
         )
-
-    def _decode_fn_for(self, _n_frames: int):
-        return self._decode_jit
 
     # ------------------------------------------------------------ constructors
     @classmethod
@@ -390,6 +405,20 @@ class ParlerTTSPipeline:
             desc_ids, desc_mask = rep(desc_ids), rep(desc_mask)
             prompt_ids, prompt_mask = rep(prompt_ids), rep(prompt_mask)
             decoder_prompt_codes = rep(decoder_prompt_codes)
+        if self._generate_spec_fn is not None:
+            out, stats = self._generate_spec_fn(
+                self.params,
+                jnp.asarray(desc_ids),
+                jnp.asarray(desc_mask) if desc_mask is not None else None,
+                jnp.asarray(prompt_ids),
+                jnp.asarray(prompt_mask) if prompt_mask is not None else None,
+                jax.random.key(seed),
+                jnp.asarray(decoder_prompt_codes)
+                if decoder_prompt_codes is not None
+                else None,
+            )
+            self.last_spec_stats = stats
+            return out
         if self._generate_fused_fn is not None and np.asarray(desc_ids).shape[0] == 1:
             return self._generate_fused_fn(
                 self.params,
@@ -446,7 +475,7 @@ class ParlerTTSPipeline:
         # invalid tail tokens would index OOB into codebooks; clamp to 0 (those
         # samples are trimmed by `lengths` anyway)
         sliced = jnp.clip(codes[:, :, :bucket], 0, self.config.audio_encoder.codebook_size - 1)
-        audio = self._decode_fn_for(bucket)(self.dac_params, sliced)  # (B, T*hop, C)
+        audio = self._decode_jit(self.dac_params, sliced)  # (B, T*hop, C)
         if audio.shape[-1] == 1:
             return np.asarray(audio[:, :, 0]), np.asarray(lengths) * hop
         # stereo codecs: interleave channels, PCM-style (samples = frames*hop*C —
@@ -574,7 +603,7 @@ class ParlerTTSPipeline:
         m = min(_round_up(n - w0, play_steps), codes.shape[-1] - w0)
         window = jnp.clip(codes[:, :, w0 : w0 + m], 0, cb_max)
         audio = np.asarray(
-            self._decode_fn_for(m)(self.dac_params, window)
+            self._decode_jit(self.dac_params, window)
         )[:, : (n - w0) * hop, 0]
         return audio, w0 * hop
 
@@ -586,13 +615,15 @@ class ParlerTTSPipeline:
         prompt_mask: Optional[np.ndarray],
         play_steps: int = 86,
         seed: int = 0,
+        decoder_prompt_codes: Optional[np.ndarray] = None,
         incremental: bool = True,
         context_frames: int = 64,
     ):
         """Batched streaming — beyond the reference (its `ParlerTTSStreamer`
         is B=1 only, streamer.py:66): serve B concurrent streams from ONE
         compiled chunked program, amortizing the weight streaming that bounds
-        single-stream decode.
+        single-stream decode. `decoder_prompt_codes` (B, K, T0) steers each
+        stream's voice exactly as in `stream`/`generate_codes`.
 
         Yields `(chunk, valid)` pairs on a uniform sample grid: `chunk` is
         (B, S) waveform and `valid[i]` counts how many of this chunk's S
@@ -616,7 +647,9 @@ class ParlerTTSPipeline:
             jnp.asarray(prompt_ids),
             jnp.asarray(prompt_mask) if prompt_mask is not None else None,
             jax.random.key(seed),
-            None,
+            jnp.asarray(decoder_prompt_codes)
+            if decoder_prompt_codes is not None
+            else None,
         )
         max_len = self.generation_config.max_length
         to_yield = 0

@@ -1,0 +1,492 @@
+"""Speculative multi-column decoding (self-drafting Jacobi verification).
+
+The AR decode loop (`runtime/generate.py`) is weight-bandwidth-bound at B=1:
+each step streams every decoder weight from HBM to score ONE delayed column.
+This module decodes W candidate columns per forward pass instead — the extra
+query columns ride the same weight stream, so a forward over W columns costs
+nearly the same as over one (measured profile: INFERENCE.md "Where the B=1
+step time goes").
+
+The scheme is draft-free speculative Jacobi decoding (Teng et al.,
+arXiv 2410.01699 — see PAPERS.md; lookahead/Jacobi greedy per
+arXiv 2402.02057):
+
+  - keep a window of W candidate columns sampled from the model's own
+    distributions computed one iteration earlier (stale context);
+  - one forward over the window yields the true conditionals for every
+    position given the candidates before it;
+  - greedy: accept the longest prefix of candidates that match the argmax —
+    token-identical to the AR greedy loop;
+  - sampling: per-codebook speculative rejection (accept candidate w.p.
+    min(1, p/q), else draw from the normalized residual (p-q)^+) — the output
+    distribution is exactly the AR sampling distribution, column by column
+    (the first partially-rejected column is still exact via the residual
+    draw, so every forward finalizes >= 1 column);
+  - leftover + fresh candidates for the next window are re-sampled from this
+    forward's distributions (each next-window slot gets an INDEPENDENT draw,
+    a requirement for the rejection identity).
+
+The reference has no equivalent (its `generate` is strictly one column per
+forward, `/root/reference/parler_tts/modeling_parler_tts.py:3321-3653`); the
+closest public analogue is its own "serving lever" framing in
+`/root/reference/INFERENCE.md`.
+
+Exactness is CPU-tested: greedy output is token-identical to
+`generate_tokens`; sampled output matches the AR sampling distribution
+(tests/test_speculative.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+from ..config import GenerationConfig, ParlerTTSConfig
+from ..models.decoder import DecoderCache
+from ..models.parler import ParlerTTS
+from ..ops.delay_pattern import (
+    apply_delay_pattern_mask,
+    build_delay_pattern_mask,
+    undelay_pattern,
+    valid_frame_lengths,
+)
+from ..ops.masks import causal_self_attention_bias, padding_cross_attention_bias
+from ..ops.sampling import (
+    EosState,
+    advance_eos_state,
+    apply_top_k,
+    apply_top_p,
+    init_eos_state,
+    mask_eos_ordering,
+    record_sampled,
+    speculative_accept,
+    suppress_eos_before_min_length,
+)
+from .generate import GenerateOutput, _sample_column
+
+
+class SpecStats(NamedTuple):
+    """Honest speculation accounting, returned next to the tokens."""
+
+    forwards: jnp.ndarray  # () int32 — decode forward passes run
+    columns: jnp.ndarray   # () int32 — columns finalized by those forwards
+
+
+@flax.struct.dataclass
+class SpecLoopState:
+    out_ids: jnp.ndarray             # (B, K, L + 2W) stored (pattern-overridden) ids
+    cand_toks: jnp.ndarray           # (W, B, K) pre-override candidates for cols [t, t+W)
+    cand_q: Optional[jnp.ndarray]    # (W, B, K, V) proposal distributions (None = greedy)
+    cache: DecoderCache
+    eos: EosState                    # post-record state through column t-1
+    rng: jax.Array
+    t: jnp.ndarray                   # () int32 — next column to finalize
+    n_fwd: jnp.ndarray               # () int32
+
+
+def _base_logits(logits, col_idx, gen: GenerationConfig, prompt_cols: int):
+    """The EOS-state-independent prefix of the processor chain
+    (`generate._sample_column` order): codebook_guard -> min-length EOS
+    suppression. `col_idx` may be a scalar or a (W,) vector of column indices
+    (broadcast against the trailing W axis of `logits`)."""
+    x = logits.astype(jnp.float32)
+    if gen.codebook_guard is not None:
+        v = x.shape[-1]
+        ids = jnp.arange(v)
+        blocked = (ids >= gen.codebook_guard) & (ids != gen.eos_token_id)
+        x = jnp.where(blocked, jnp.finfo(jnp.float32).min, x)
+    if gen.min_new_tokens > 0:
+        v = x.shape[-1]
+        eos_col = jax.nn.one_hot(gen.eos_token_id, v, dtype=bool)
+        active = col_idx < gen.min_new_tokens + prompt_cols
+        if x.ndim == 4 and jnp.ndim(active) == 1:  # (B, K, W, V) with (W,) cols
+            active = active[None, None, :, None]
+        x = jnp.where(active & eos_col, jnp.finfo(jnp.float32).min, x)
+    return x
+
+
+def generate_tokens_speculative(
+    model: ParlerTTS,
+    gen: GenerationConfig,
+    params,
+    desc_ids: jnp.ndarray,
+    desc_mask: Optional[jnp.ndarray],
+    prompt_ids: jnp.ndarray,
+    prompt_mask: Optional[jnp.ndarray],
+    rng: jax.Array,
+    decoder_prompt_codes: Optional[jnp.ndarray] = None,
+    cache_dtype=jnp.bfloat16,
+    window: int = 8,
+):
+    """Speculative generation; same contract as `generate_tokens` plus stats.
+
+    Greedy (do_sample=False) is token-identical to the AR loop. Sampling
+    preserves the AR sampling distribution but consumes the rng stream
+    differently, so individual draws differ from `generate_tokens` at equal
+    seeds. With B > 1 the accept horizon is shared across rows (the window
+    advances by the minimum accepted prefix over the batch): still exact per
+    row, but acceptance decays with B — speculation is a small-batch
+    latency lever.
+    """
+    assert window >= 1
+    cfg: ParlerTTSConfig = model.config
+    dcfg = cfg.decoder
+    k_cb, max_len = dcfg.num_codebooks, gen.max_length
+    w = window
+    b = desc_ids.shape[0]
+    variables = {"params": params}
+    eos_id, pad_id = gen.eos_token_id, gen.pad_token_id
+    # warp chain hoistable out of the verify scan? temperature commutes with
+    # the EOS-ordering mask; top-k / top-p do NOT (the reference applies them
+    # AFTER the mask, logits_processors.py order) -> full in-scan chain then.
+    hoist = gen.top_k <= 0 and gen.top_p >= 1.0
+    greedy = not gen.do_sample
+
+    span = (0 if cfg.prompt_cross_attention else prompt_ids.shape[1]) + max_len + w
+    if span > dcfg.max_position_embeddings:
+        raise ValueError(
+            f"prompt + max_length + window ({span}) exceeds "
+            f"max_position_embeddings={dcfg.max_position_embeddings}"
+        )
+
+    if desc_mask is None:
+        desc_mask = jnp.ones_like(desc_ids)
+    if prompt_mask is None:
+        prompt_mask = jnp.ones_like(prompt_ids)
+
+    # ---- encoder precompute (identical to generate_tokens)
+    enc = model.apply(variables, desc_ids, desc_mask, method="encode_description")
+    prompt = model.apply(variables, prompt_ids, method="prompt_hidden")
+    enc_states, enc_mask = model.apply(
+        variables, enc, desc_mask,
+        prompt if cfg.prompt_cross_attention else None,
+        prompt_mask if cfg.prompt_cross_attention else None,
+        method="build_encoder_states",
+    )
+    if cfg.prompt_cross_attention:
+        s_p = 0
+        prefix = jnp.zeros((b, 0, dcfg.hidden_size), enc_states.dtype)
+        prefix_mask = jnp.zeros((b, 0), jnp.int32)
+    else:
+        s_p = prompt_ids.shape[1]
+        prefix = prompt
+        prefix_mask = prompt_mask.astype(jnp.int32)
+
+    # ---- delay pattern, extended by 2W columns of forced PAD so the window
+    # machinery never indexes past the true pattern (columns >= L are never
+    # finalized; forcing PAD keeps their conditioning identical to the AR tail)
+    start = jnp.full((b, k_cb, 1), gen.bos_token_id, jnp.int32)
+    if decoder_prompt_codes is not None:
+        start = jnp.concatenate(
+            [start, decoder_prompt_codes.astype(jnp.int32)], axis=-1
+        )
+    first_ids, pattern = build_delay_pattern_mask(
+        start, gen.bos_token_id, pad_id, max_len
+    )
+    pattern_ext = jnp.concatenate(
+        [pattern, jnp.full((b, k_cb, 2 * w), pad_id, pattern.dtype)], axis=-1
+    )
+    out_ids = jnp.where(pattern_ext == -1, pad_id, pattern_ext)
+
+    # ---- cache + masks (W extra slots: the window forward writes K/V up to
+    # column t+W-2 <= L+W-3)
+    s_cache = s_p + max_len + w
+    cache = DecoderCache.zeros(dcfg, b, s_cache, enc_states.shape[1], cache_dtype)
+    cross_k, cross_v = model.apply(
+        variables, enc_states, method=lambda m, x: m.decoder_lm.precompute_cross_kv(x)
+    )
+    cache = cache.replace(cross_k=cross_k, cross_v=cross_v)
+    kv_valid = jnp.concatenate(
+        [prefix_mask.astype(bool), jnp.ones((b, s_cache - s_p), bool)], axis=1
+    )
+    win_cfg = (
+        dcfg.sliding_window if gen.cache_implementation == "sliding_window" else None
+    )
+
+    def decoder_forward(embeds, abs_positions, cache):
+        bias = causal_self_attention_bias(abs_positions, kv_valid, win_cfg)
+        cross_bias = padding_cross_attention_bias(enc_mask, embeds.shape[1])
+        return model.apply(
+            variables, embeds, abs_positions,
+            self_attn_bias=bias, cross_attn_bias=cross_bias, cache=cache,
+            method=lambda m, *a, **kw: m.decoder_lm(*a, **kw),
+        )
+
+    def embed_ids(ids):
+        return model.apply(
+            variables, ids, method=lambda m, x: m.decoder_lm.embed_ids(x)
+        )
+
+    # ---- prefill + first sampled column (identical to the AR path)
+    s0 = first_ids.shape[-1]
+    emb0 = embed_ids(first_ids)
+    pre_embeds = jnp.concatenate([prefix.astype(emb0.dtype), emb0], axis=1)
+    abs_pos = jnp.broadcast_to(jnp.arange(s_p + s0), (b, s_p + s0))
+    logits_pre, cache = decoder_forward(pre_embeds, abs_pos, cache)
+
+    rng, r1 = jax.random.split(rng)
+    eos_state = init_eos_state(b, k_cb)
+    col1, eos_state = _sample_column(
+        logits_pre[:, :, -1, :], jnp.int32(s0), eos_state, pattern, r1, gen,
+        k_cb, prompt_cols=s0,
+    )
+    out_ids = jax.lax.dynamic_update_slice(out_ids, col1[:, :, None], (0, 0, s0))
+
+    # ---- initial candidate window for columns [s0+1, s0+W], proposed from the
+    # prefill column's distribution (any known proposal is valid)
+    t0 = s0 + 1
+    x1 = _base_logits(logits_pre[:, :, -1, :], jnp.int32(s0), gen, s0)
+    adv0 = advance_eos_state(eos_state, k_cb)
+    if greedy:
+        xm = mask_eos_ordering(x1, adv0, eos_id)
+        raw = jnp.argmax(xm, axis=-1).astype(jnp.int32)
+        raw = jnp.where(adv0.eos_seen, pad_id, raw)
+        cand_toks = jnp.broadcast_to(raw[None], (w, b, k_cb))
+        cand_q = None
+    else:
+        if hoist:
+            xw = x1 / gen.temperature if gen.temperature != 1.0 else x1
+        else:
+            xm = mask_eos_ordering(x1, adv0, eos_id)
+            xw = xm / gen.temperature if gen.temperature != 1.0 else xm
+            xw = apply_top_k(xw, gen.top_k)
+            xw = apply_top_p(xw, gen.top_p)
+        q0 = jax.nn.softmax(xw, axis=-1)
+        rng, rp = jax.random.split(rng)
+        g = jax.random.gumbel(rp, (b, k_cb, w, xw.shape[-1]), jnp.float32)
+        props0 = jnp.argmax(xw[:, :, None, :] + g, axis=-1).astype(jnp.int32)
+        cand_toks = jnp.moveaxis(props0, 2, 0)            # (W, B, K)
+        cand_q = jnp.broadcast_to(q0[None], (w, b, k_cb) + q0.shape[-1:])
+    pat0 = jnp.moveaxis(
+        jax.lax.dynamic_slice(pattern_ext, (0, 0, t0), (b, k_cb, w)), 2, 0
+    )
+    stored0 = jnp.where(pat0 == -1, cand_toks, pat0)
+    out_ids = jax.lax.dynamic_update_slice(
+        out_ids, jnp.moveaxis(stored0, 0, 2), (0, 0, t0)
+    )
+
+    eos_oh = jax.nn.one_hot(eos_id, dcfg.vocab_size, dtype=bool)[None, None, :]
+    pad_oh = jax.nn.one_hot(pad_id, dcfg.vocab_size, dtype=jnp.float32)[None, None, :]
+    cb_idx = jnp.arange(k_cb)[None, :]
+
+    def verify_scan(logits, state: SpecLoopState, uniforms, res_g, prop_g):
+        """Sequential accept/verify over the W window columns.
+
+        Returns (finals (W,B,K), stored (W,B,K), finalized (W,), q_vecs,
+        props, n_accepted, eos_after_accepted).
+        `logits`: (B, K, W, V) from the window forward.
+
+        Two EOS trajectories are carried: `eos_prop` follows the CANDIDATE
+        tokens (the conditioning of this forward's distributions — valid as
+        proposal context even past the accept horizon) and `eos_real` follows
+        the FINALIZED tokens and freezes once accepting stops. They coincide
+        on the accepted prefix, which is what makes the verify exact.
+        """
+        col_idx = state.t + jnp.arange(w)                     # (W,)
+        x = _base_logits(logits, col_idx, gen, s0)            # (B, K, W, V)
+        props_pre = None
+        if greedy:
+            xs_main = jnp.moveaxis(x, 2, 0)                   # (W, B, K, V) logits
+        elif hoist:
+            xw = x / gen.temperature if gen.temperature != 1.0 else x
+            xs_main = jnp.moveaxis(jax.nn.softmax(xw, axis=-1), 2, 0)  # probs P
+            # W independent proposal draws per column, hoisted out of the scan
+            props_pre = jnp.moveaxis(
+                jnp.argmax(xw[:, :, :, None, :] + prop_g, axis=-1).astype(jnp.int32),
+                2, 0,
+            )                                                 # (W, B, K, W)
+        else:
+            xs_main = jnp.moveaxis(x, 2, 0)                   # logits; chain in-scan
+        pat_w = jnp.moveaxis(
+            jax.lax.dynamic_slice(pattern_ext, (0, 0, state.t), (b, k_cb, w)),
+            2, 0,
+        )
+
+        def body(carry, xs):
+            eos_prop, eos_real, accepting, n_acc = carry
+            if greedy:
+                x_i, cand, pat, col = xs
+            elif hoist:
+                x_i, cand, q, pat, u, rg, col = xs
+            else:
+                x_i, cand, q, pat, u, rg, pg, col = xs
+            adv = advance_eos_state(eos_prop, k_cb)
+            es = adv.eos_seen                                  # (B, K)
+            if greedy:
+                xm = mask_eos_ordering(x_i, adv, eos_id)
+                final = jnp.argmax(xm, axis=-1).astype(jnp.int32)
+                final = jnp.where(es, pad_id, final)
+                q_vec = props = None
+            else:
+                if hoist:
+                    # exact post-EOS-mask distribution via renormalization:
+                    # zero the EOS entry for forbidden codebooks and rescale
+                    forbid = cb_idx > adv.first_unfinished[:, None]
+                    p_eos = x_i[..., eos_id]
+                    scale = jnp.where(
+                        forbid, 1.0 / jnp.clip(1.0 - p_eos, 1e-9, None), 1.0
+                    )
+                    p = jnp.where(forbid[:, :, None] & eos_oh, 0.0,
+                                  x_i * scale[:, :, None])
+                    props = None           # precomputed (props_pre)
+                    q_vec = x_i            # proposals were drawn from P = x_i
+                else:
+                    xm = mask_eos_ordering(x_i, adv, eos_id)
+                    xw = xm / gen.temperature if gen.temperature != 1.0 else xm
+                    xw = apply_top_k(xw, gen.top_k)
+                    xw = apply_top_p(xw, gen.top_p)
+                    p = jax.nn.softmax(xw, axis=-1)
+                    props = jnp.argmax(
+                        xw[:, :, None, :] + pg, axis=-1
+                    ).astype(jnp.int32)                        # (B, K, W)
+                    q_vec = p              # proposals drawn pre-pad-forcing
+                # finished rows deterministically emit PAD (AR's post-sample fill)
+                p = jnp.where(es[:, :, None], pad_oh, p)
+                final, _ = speculative_accept(p, q, cand, u, rg)
+            match = jnp.all(final == cand)
+            eos_prop_new = record_sampled(adv, cand, eos_id)
+            rec_real = record_sampled(adv, final, eos_id)
+            finalized = accepting
+            eos_real_new = jax.tree.map(
+                lambda a_, b_: jnp.where(finalized, a_, b_), rec_real, eos_real
+            )
+            accepting_next = (
+                accepting & match
+                & ~jnp.all(rec_real.eos_seen)
+                & (col + 1 < max_len)
+            )
+            stored = jnp.where(pat == -1, final, pat)
+            n_acc = n_acc + finalized.astype(jnp.int32)
+            ys = (final, stored, finalized, q_vec, props)
+            return (eos_prop_new, eos_real_new, accepting_next, n_acc), ys
+
+        if greedy:
+            xs = (xs_main, state.cand_toks, pat_w, col_idx)
+        elif hoist:
+            xs = (xs_main, state.cand_toks, state.cand_q, pat_w, uniforms,
+                  res_g, col_idx)
+        else:
+            xs = (xs_main, state.cand_toks, state.cand_q, pat_w, uniforms,
+                  res_g, prop_g, col_idx)
+        carry0 = (state.eos, state.eos, jnp.bool_(True), jnp.int32(0))
+        (_, eos_real_f, _, n_acc), ys = jax.lax.scan(body, carry0, xs)
+        finals, stored, finalized, q_vecs, props = ys
+        if not greedy and hoist:
+            props = props_pre
+        return finals, stored, finalized, q_vecs, props, n_acc, eos_real_f
+
+    def cond(s: SpecLoopState):
+        return (s.t < max_len) & ~jnp.all(s.eos.eos_seen)
+
+    def body(s: SpecLoopState):
+        rng, ru, rr, rp = jax.random.split(s.rng, 4)
+        v = dcfg.vocab_size
+        uniforms = res_g = prop_g = None
+        if not greedy:
+            uniforms = jax.random.uniform(ru, (w, b, k_cb))
+            res_g = jax.random.gumbel(rr, (w, b, k_cb, v), jnp.float32)
+            prop_g = jax.random.gumbel(
+                rp, (b, k_cb, w, w, v) if hoist else (w, b, k_cb, w, v),
+                jnp.float32,
+            )
+
+        # ---- one forward over the whole window: inputs = columns t-1..t+W-2
+        inputs = jax.lax.dynamic_slice(
+            s.out_ids, (0, 0, s.t - 1), (b, k_cb, w)
+        )
+        emb = embed_ids(inputs)
+        q_pos = jnp.broadcast_to(
+            s_p + (s.t - 1) + jnp.arange(w)[None, :], (b, w)
+        ).astype(jnp.int32)
+        logits, cache = decoder_forward(emb, q_pos, s.cache)   # (B, K, W, V)
+
+        finals, stored_f, finalized, q_vecs, props, n_acc, eos_new = verify_scan(
+            logits, s, uniforms, res_g, prop_g
+        )
+        n = n_acc  # >= 1: the first window column is always finalized
+
+        # ---- next window candidates for columns [t+n, t+n+W-1]: slot j draws
+        # independently (draw index j) from this forward's distribution at
+        # column min(n+j, W-1) (tail slots reuse the last computed column)
+        src = jnp.minimum(n + jnp.arange(w), w - 1)            # (W,)
+        if greedy:
+            new_cand = jnp.take(finals, src, axis=0)           # (W, B, K)
+            new_q = None
+        else:
+            props_src = jnp.take(props, src, axis=0)           # (W, B, K, W)
+            new_cand = jnp.take_along_axis(
+                props_src,
+                jnp.arange(w)[:, None, None, None], axis=-1,
+            )[..., 0]                                          # (W, B, K)
+            new_q = jnp.take(q_vecs, src, axis=0)              # (W, B, K, V)
+        pat_next = jnp.moveaxis(
+            jax.lax.dynamic_slice(pattern_ext, (0, 0, s.t + n), (b, k_cb, w)),
+            2, 0,
+        )
+        new_stored = jnp.where(pat_next == -1, new_cand, pat_next)
+
+        # ---- write finals + next candidates back in one 2W-wide block
+        cur = jnp.moveaxis(
+            jax.lax.dynamic_slice(s.out_ids, (0, 0, s.t), (b, k_cb, 2 * w)), 2, 0
+        )                                                      # (2W, B, K)
+        i_idx = jnp.arange(2 * w)
+        fin_sel = jnp.take(stored_f, jnp.clip(i_idx, 0, w - 1), axis=0)
+        cand_sel = jnp.take(new_stored, jnp.clip(i_idx - n, 0, w - 1), axis=0)
+        blk = jnp.where(
+            (i_idx < n)[:, None, None], fin_sel,
+            jnp.where((i_idx < n + w)[:, None, None], cand_sel, cur),
+        )
+        out = jax.lax.dynamic_update_slice(
+            s.out_ids, jnp.moveaxis(blk, 0, 2), (0, 0, s.t)
+        )
+
+        # roll the cache write pointer back to s_p + (t + n) - 1: rejected
+        # columns' K/V rows are rewritten by the next forward before any
+        # query can attend to them (causal bias masks slots > query position)
+        cache = cache.replace(index=cache.index - w + n)
+        return SpecLoopState(
+            out, new_cand, new_q, cache, eos_new, rng,
+            s.t + n, s.n_fwd + 1,
+        )
+
+    init = SpecLoopState(
+        out_ids, cand_toks, cand_q, cache, eos_state, rng,
+        jnp.int32(t0), jnp.int32(0),
+    )
+    final = jax.lax.while_loop(cond, body, init)
+
+    # columns >= t were never finalized; restore the AR tail (pattern PAD)
+    cols = jnp.arange(max_len)[None, None, :]
+    default_tail = jnp.where(pattern == -1, pad_id, pattern)
+    out = jnp.where(
+        cols >= final.t, default_tail, final.out_ids[:, :, :max_len]
+    )
+    delayed = apply_delay_pattern_mask(out, pattern)
+    codes = undelay_pattern(delayed, k_cb)
+    lengths = valid_frame_lengths(codes, dcfg.pad_token_id)
+    stats = SpecStats(forwards=final.n_fwd, columns=final.t - t0)
+    return GenerateOutput(delayed, codes, lengths, final.t), stats
+
+
+def make_generate_speculative(
+    model: ParlerTTS,
+    gen: GenerationConfig,
+    window: int = 8,
+    cache_dtype=jnp.bfloat16,
+):
+    """jit-wrapped `generate_tokens_speculative`."""
+
+    @functools.partial(jax.jit, static_argnames=())
+    def fn(params, desc_ids, desc_mask, prompt_ids, prompt_mask, rng,
+           decoder_prompt_codes=None):
+        return generate_tokens_speculative(
+            model, gen, params, desc_ids, desc_mask, prompt_ids, prompt_mask,
+            rng, decoder_prompt_codes=decoder_prompt_codes,
+            cache_dtype=cache_dtype, window=window,
+        )
+
+    return fn

@@ -1,0 +1,250 @@
+"""Speculative (self-drafting Jacobi) decoding correctness.
+
+Three layers of evidence:
+  1. `speculative_accept` alone reproduces the target distribution p for
+     arbitrary (p, q) pairs (the rejection identity, brute-force empirical);
+  2. greedy speculative generation is TOKEN-IDENTICAL to the AR greedy loop
+     (`generate_tokens`) across window sizes, prompts, voice steering,
+     left-padding, and min_new_tokens;
+  3. sampled speculative generation matches the AR sampling DISTRIBUTION:
+     per-position marginals over a small-vocab model agree within sampling
+     noise (the draws themselves differ — the rng stream is consumed
+     differently — which is exactly the speculative-sampling contract).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from parler_tts_tpu.config import (
+    DACConfig,
+    DecoderConfig,
+    GenerationConfig,
+    ParlerTTSConfig,
+    T5Config,
+)
+from parler_tts_tpu.models.parler import ParlerTTS
+from parler_tts_tpu.ops.sampling import speculative_accept
+from parler_tts_tpu.runtime.generate import make_generate
+from parler_tts_tpu.runtime.speculative import make_generate_speculative
+
+PAD, BOS = 16, 17  # small-vocab v1-style layout: pad == eos == codebook_size
+
+CFG = ParlerTTSConfig(
+    text_encoder=T5Config(
+        vocab_size=60, d_model=32, d_kv=8, d_ff=64, num_layers=2, num_heads=4,
+        relative_attention_num_buckets=8, relative_attention_max_distance=20,
+        dropout_rate=0.0,
+    ),
+    audio_encoder=DACConfig(num_codebooks=3, codebook_size=PAD),
+    decoder=DecoderConfig(
+        vocab_size=24, hidden_size=64, num_hidden_layers=2,
+        num_attention_heads=4, ffn_dim=128, num_codebooks=3,
+        max_position_embeddings=128, pad_token_id=PAD, bos_token_id=BOS,
+        eos_token_id=PAD, dropout=0.0,
+    ),
+    vocab_size=96,
+    pad_token_id=PAD,
+    decoder_start_token_id=BOS,
+)
+
+
+def _gen_cfg(**kw):
+    base = dict(
+        max_length=24, min_new_tokens=4, do_sample=False,
+        bos_token_id=BOS, pad_token_id=PAD, eos_token_id=PAD,
+    )
+    base.update(kw)
+    return GenerationConfig(**base)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = ParlerTTS(CFG)
+    params = model.init(
+        jax.random.key(3),
+        jnp.zeros((1, 4), jnp.int32), jnp.ones((1, 4), jnp.int32),
+        jnp.zeros((1, 3), jnp.int32), jnp.ones((1, 3), jnp.int32),
+        jnp.zeros((1, 2, 3), jnp.int32),
+    )["params"]
+    return model, params
+
+
+def _inputs(b=1, s_d=5, s_p=4, seed=0, left_pad=0):
+    rng = np.random.default_rng(seed)
+    desc = rng.integers(1, 50, size=(b, s_d)).astype(np.int32)
+    dm = np.ones((b, s_d), np.int32)
+    prompt = rng.integers(1, 90, size=(b, s_p)).astype(np.int32)
+    pm = np.ones((b, s_p), np.int32)
+    if left_pad:
+        prompt[:, :left_pad] = 0
+        pm[:, :left_pad] = 0
+    return (jnp.asarray(desc), jnp.asarray(dm),
+            jnp.asarray(prompt), jnp.asarray(pm))
+
+
+# --------------------------------------------------------------------------
+def test_speculative_accept_reproduces_target():
+    """final ~ p exactly, for cand ~ q, across several (p, q) shapes."""
+    v, n = 8, 200_000
+    rng = np.random.default_rng(0)
+    for trial in range(3):
+        p = rng.dirichlet(np.full(v, 0.4))
+        q = rng.dirichlet(np.full(v, 0.7))
+        if trial == 2:
+            q = p.copy()  # degenerate: empty residual path
+        key = jax.random.key(trial)
+        kc, ku, kg = jax.random.split(key, 3)
+        cand = jax.random.categorical(kc, jnp.log(jnp.asarray(q))[None], shape=(n,))
+        u = jax.random.uniform(ku, (n,))
+        g = jax.random.gumbel(kg, (n, v))
+        final, acc = speculative_accept(
+            jnp.broadcast_to(jnp.asarray(p), (n, v)),
+            jnp.broadcast_to(jnp.asarray(q), (n, v)),
+            cand.astype(jnp.int32), u, g,
+        )
+        emp = np.bincount(np.asarray(final), minlength=v) / n
+        np.testing.assert_allclose(emp, p, atol=5e-3)
+        exp_acc = np.minimum(p, q).sum()  # E[min(1, p/q)] under cand~q
+        assert abs(float(jnp.mean(acc)) - exp_acc) < 5e-3
+
+
+# --------------------------------------------------------------------------
+@pytest.mark.parametrize("window", [1, 2, 4, 7])
+def test_greedy_token_identical(setup, window):
+    model, params = setup
+    gen = _gen_cfg(do_sample=False)
+    ar = make_generate(model, gen)
+    sp = make_generate_speculative(model, gen, window=window)
+    for seed in range(3):
+        inp = _inputs(seed=seed)
+        a = ar(params, *inp, jax.random.key(7))
+        s, stats = sp(params, *inp, jax.random.key(7))
+        np.testing.assert_array_equal(np.asarray(a.codes), np.asarray(s.codes))
+        np.testing.assert_array_equal(np.asarray(a.lengths), np.asarray(s.lengths))
+        np.testing.assert_array_equal(np.asarray(a.delayed_ids), np.asarray(s.delayed_ids))
+        assert int(stats.forwards) >= 1
+        assert int(stats.columns) == int(s.steps) - (1 + 1)  # t0 = s0+1 = 2
+
+
+def test_greedy_identical_voice_steering_and_left_pad(setup):
+    model, params = setup
+    gen = _gen_cfg(do_sample=False, min_new_tokens=2)
+    ar = make_generate(model, gen)
+    sp = make_generate_speculative(model, gen, window=4)
+    inp = _inputs(seed=5, left_pad=2)
+    codes0 = jnp.asarray(
+        np.random.default_rng(1).integers(0, PAD, size=(1, 3, 3)), jnp.int32
+    )
+    a = ar(params, *inp, jax.random.key(0), codes0)
+    s, _ = sp(params, *inp, jax.random.key(0), codes0)
+    np.testing.assert_array_equal(np.asarray(a.codes), np.asarray(s.codes))
+    np.testing.assert_array_equal(np.asarray(a.lengths), np.asarray(s.lengths))
+
+
+def test_greedy_identical_batched(setup):
+    model, params = setup
+    gen = _gen_cfg(do_sample=False)
+    ar = make_generate(model, gen)
+    sp = make_generate_speculative(model, gen, window=3)
+    inp = _inputs(b=3, seed=2)
+    a = ar(params, *inp, jax.random.key(0))
+    s, _ = sp(params, *inp, jax.random.key(0))
+    np.testing.assert_array_equal(np.asarray(a.codes), np.asarray(s.codes))
+    np.testing.assert_array_equal(np.asarray(a.lengths), np.asarray(s.lengths))
+
+
+# --------------------------------------------------------------------------
+def _marginals(delayed, v):
+    """Per-(codebook, column) empirical marginal over the batch axis."""
+    b, k, t = delayed.shape
+    out = np.zeros((k, t, v))
+    for ki in range(k):
+        for ti in range(t):
+            out[ki, ti] = np.bincount(delayed[:, ki, ti], minlength=v) / b
+    return out
+
+
+@pytest.mark.parametrize(
+    "gen_kw",
+    [
+        dict(do_sample=True, temperature=1.0),
+        dict(do_sample=True, temperature=0.7, codebook_guard=PAD),
+        dict(do_sample=True, top_k=6),  # non-hoistable chain (in-scan warpers)
+    ],
+)
+def test_sampled_distribution_preserved(setup, gen_kw):
+    """Marginal distributions of speculative sampling match AR sampling.
+
+    Identical inputs replicated over a large batch; AR and speculative runs
+    use fresh seeds. The total-variation distance between per-position
+    marginals must sit within sampling noise (calibrated by comparing two
+    independent AR runs).
+    """
+    model, params = setup
+    gen = _gen_cfg(max_length=12, min_new_tokens=3, **gen_kw)
+    ar = make_generate(model, gen)
+    sp = make_generate_speculative(model, gen, window=4)
+    b = 768
+    d, dm, p, pm = _inputs(seed=3)
+    rep = lambda x: jnp.repeat(x, b, axis=0)
+    inp = (rep(d), rep(dm), rep(p), rep(pm))
+    v = CFG.decoder.vocab_size
+
+    a1 = np.asarray(ar(params, *inp, jax.random.key(11)).delayed_ids)
+    a2 = np.asarray(ar(params, *inp, jax.random.key(12)).delayed_ids)
+    s1, stats = sp(params, *inp, jax.random.key(13))
+    s1 = np.asarray(s1.delayed_ids)
+
+    m_a1, m_a2, m_s = _marginals(a1, v), _marginals(a2, v), _marginals(s1, v)
+    tv_noise = 0.5 * np.abs(m_a1 - m_a2).sum(-1)   # AR-vs-AR sampling noise
+    tv_spec = 0.5 * np.abs(m_a1 - m_s).sum(-1)     # AR-vs-speculative
+    # speculative TV must be statistically indistinguishable from noise:
+    # bound by noise + 3x the binomial std-err scale of a TV estimate
+    bound = tv_noise.mean() + 3.0 * np.sqrt(v / (4 * b))
+    assert tv_spec.mean() < bound, (tv_spec.mean(), tv_noise.mean(), bound)
+    assert tv_spec.max() < tv_noise.max() + 5 * np.sqrt(v / (4 * b))
+    # with B=768 coupled rows, the accept horizon degrades to ~1 column per
+    # forward, but never below (the residual draw always finalizes one)
+    assert int(stats.columns) >= int(stats.forwards)
+
+
+def test_sampled_lengths_distribution(setup):
+    """EOS/early-exit behavior matches in distribution, not just tokens."""
+    model, params = setup
+    gen = _gen_cfg(max_length=16, min_new_tokens=0, do_sample=True)
+    ar = make_generate(model, gen)
+    sp = make_generate_speculative(model, gen, window=4)
+    b = 512
+    d, dm, p, pm = _inputs(seed=4)
+    rep = lambda x: jnp.repeat(x, b, axis=0)
+    inp = (rep(d), rep(dm), rep(p), rep(pm))
+    la = np.asarray(ar(params, *inp, jax.random.key(21)).lengths)
+    lb = np.asarray(ar(params, *inp, jax.random.key(22)).lengths)
+    ls = np.asarray(sp(params, *inp, jax.random.key(23))[0].lengths)
+    noise = abs(la.mean() - lb.mean())
+    assert abs(la.mean() - ls.mean()) <= noise + 3 * la.std() / np.sqrt(b)
+
+
+# --------------------------------------------------------------------------
+def test_pipeline_speculative_route(setup):
+    """Pipeline wiring: speculative path returns the standard output tuple
+    and records stats; greedy pipeline output equals the plain pipeline."""
+    from parler_tts_tpu.codec.registry import build_codec, init_codec_params
+    from parler_tts_tpu.runtime.pipeline import ParlerTTSPipeline
+
+    model, params = setup
+    dac = build_codec(CFG.audio_encoder)
+    dac_params = init_codec_params(dac, CFG.audio_encoder, jax.random.key(0))
+    gen = _gen_cfg(do_sample=False)
+    plain = ParlerTTSPipeline(model, params, dac, dac_params, gen)
+    spec = ParlerTTSPipeline(
+        model, params, dac, dac_params, gen, speculative_window=4
+    )
+    d, dm, p, pm = _inputs(seed=6)
+    a = plain.generate_codes(d, dm, p, pm, seed=0)
+    s = spec.generate_codes(d, dm, p, pm, seed=0)
+    np.testing.assert_array_equal(np.asarray(a.codes), np.asarray(s.codes))
+    assert spec.last_spec_stats is not None
+    assert int(spec.last_spec_stats.forwards) >= 1
