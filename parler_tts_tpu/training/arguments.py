@@ -61,6 +61,13 @@ class DataTrainingArguments:
     max_description_token_length: Optional[int] = None
     max_train_samples: Optional[int] = None
     max_eval_samples: Optional[int] = None
+    # lazy-load datasets (reference arguments.py `streaming` intent; its own
+    # training script leaves it TODO at run_parler_tts_training.py:263). Here
+    # the flag is live: splits load as IterableDatasets (probability-weighted
+    # interleave across "+"-specs) and the first max_*_samples rows are drawn
+    # without downloading/decoding the full corpus — so max_train_samples /
+    # max_eval_samples are REQUIRED with streaming.
+    streaming: bool = False
     preprocessing_num_workers: Optional[int] = None
     preprocessing_only: bool = False
     save_to_disk: Optional[str] = None
@@ -99,7 +106,21 @@ class TrainingArguments:
     eval_generation_steps: Optional[int] = None
     save_total_limit: Optional[int] = 5
     seed: int = 42
+    # compute dtype of the model's forward/backward (reference loads the whole
+    # model in this dtype, run_parler_tts_training.py:90-95,116; the JAX mixed-
+    # precision form keeps fp32 params + optimizer and casts activations):
+    # "bfloat16" (recipe default, starting_point_v1.json) | "float32"
     dtype: str = "bfloat16"
+    # store Adam's first moment in bf16 (halves optimizer HBM; JAX-native
+    # analogue of the memory the reference recovers by keeping bf16 weights)
+    adam_mu_dtype: Optional[str] = None
+    # batch rows by similar label length (reference wires transformers'
+    # LengthGroupedSampler when group_by_length=True, :994-1002); on TPU this
+    # also minimizes padding waste under the bucketing collator
+    group_by_length: bool = False
+    # shard params + optimizer state over the 'data' mesh axis (ZeRO-3-style;
+    # TPU-native addition — the reference's DDP replicates the full state)
+    fsdp: bool = False
     audio_encoder_per_device_batch_size: int = 8
     compute_clap_similarity_metric: bool = True
     compute_noise_level_metric: bool = True

@@ -113,16 +113,30 @@ def encode_corpus_stage(
 
 
 def data_iterator(features: List[dict], collator, batch_size: int, seed: int, epoch: int,
-                  process_index: int = 0, process_count: int = 1):
+                  process_index: int = 0, process_count: int = 1,
+                  group_by_length: bool = False):
     """Deterministic epoch iterator over collated global batches.
 
     Multi-host: every process materializes the same global order and collated
     shapes (same seed -> same permutation -> same bucket lengths), then keeps
     only its row slice — the JAX analogue of Accelerate's per-process
     dataloader sharding (reference run_parler_tts_training.py:496, :1006).
-    The caller reassembles global arrays via `host_local_to_global`."""
-    rng = np.random.default_rng(seed + epoch)
-    order = rng.permutation(len(features))
+    The caller reassembles global arrays via `host_local_to_global`.
+
+    `group_by_length`: batch rows of similar label length (the reference's
+    LengthGroupedSampler wiring, run_parler_tts_training.py:994-1002) —
+    shuffle, then sort within mega-batches, so each collated batch pads to a
+    tighter bucket."""
+    if group_by_length:
+        from .data import length_grouped_order
+
+        order = length_grouped_order(
+            [np.asarray(f["labels"]).shape[0] for f in features],
+            batch_size, seed + epoch,
+        )
+    else:
+        rng = np.random.default_rng(seed + epoch)
+        order = rng.permutation(len(features))
     if batch_size % process_count != 0:
         raise ValueError(
             f"global batch {batch_size} not divisible by {process_count} "
@@ -160,6 +174,19 @@ def run_training(
     if max_t >= 512 and not (model.use_chunked_attention and model.remat_layers):
         logger.info("enabling chunked attention + per-layer remat for T=%d", max_t)
         model = model.clone(use_chunked_attention=True, remat_layers=True)
+    # mixed precision (reference recipe trains in bf16,
+    # run_parler_tts_training.py:90-95,116 + starting_point_v1.json "dtype"):
+    # params/optimizer stay fp32, the forward/backward computes in `dtype`
+    compute_dtype = {
+        "bfloat16": jnp.bfloat16, "bf16": jnp.bfloat16,
+        "float16": jnp.float16, "fp16": jnp.float16,
+        "float32": jnp.float32, "fp32": jnp.float32,
+    }.get(training_args.dtype)
+    if compute_dtype is None:
+        raise ValueError(f"unknown training dtype {training_args.dtype!r}")
+    if model.dtype != compute_dtype:
+        logger.info("training compute dtype: %s", training_args.dtype)
+        model = model.clone(dtype=compute_dtype)
     # multi-host: the mesh spans every process's devices (ICI within a host,
     # DCN across); each host feeds its local batch shard (SURVEY §2.4)
     pi, pc = jax.process_index(), jax.process_count()
@@ -190,6 +217,11 @@ def run_training(
         weight_decay=training_args.weight_decay,
         max_grad_norm=training_args.max_grad_norm,
         freeze_text_encoder=model_args.freeze_text_encoder,
+        mu_dtype=(
+            jnp.bfloat16
+            if training_args.adam_mu_dtype in ("bfloat16", "bf16")
+            else None
+        ),
     )
     state = TrainState.create(params, tx)
 
@@ -203,7 +235,7 @@ def run_training(
         logger.info("resumed from %s (step %d epoch %d)", resume, start_step, start_epoch)
 
     if mesh is not None:
-        state = shard_train_state(state, mesh)
+        state = shard_train_state(state, mesh, fsdp=training_args.fsdp)
     step_fn = make_train_step(model, tx, mesh=mesh)
 
     collator = DataCollatorParlerTTSWithPadding(
@@ -224,6 +256,7 @@ def run_training(
     ) if pi == 0 else None
     timer = PhaseTimer()
     rng = jax.random.key(training_args.seed)
+    eval_pipe_cache: dict = {}  # one jitted eval-generation pipeline per run
 
     step = start_step
     train_start = time.perf_counter()
@@ -240,7 +273,8 @@ def run_training(
 
     for epoch in range(start_epoch, int(math.ceil(training_args.num_train_epochs))):
         it = data_iterator(train_features, collator, global_bs, training_args.seed,
-                           epoch, process_index=pi, process_count=pc)
+                           epoch, process_index=pi, process_count=pc,
+                           group_by_length=training_args.group_by_length)
         if epoch == start_epoch and start_step > epoch * steps_per_epoch:
             # skip_first_batches equivalent (reference :1010-1015)
             for _ in range(start_step - epoch * steps_per_epoch):
@@ -274,7 +308,8 @@ def run_training(
                     run_eval_generation(
                         model, state, dac, dac_params, eval_features,
                         model_args, training_args, tracker, step, epoch,
-                        tokenizers=tokenizers,
+                        tokenizers=tokenizers, pipe_cache=eval_pipe_cache,
+                        mesh=mesh,
                     )
         if step >= total_steps:
             break
@@ -346,8 +381,21 @@ def main(argv=None):
         ds = load_multiple_datasets(
             specs, sr, id_column_name=data_args.id_column_name,
             num_proc=data_args.preprocessing_num_workers,
+            streaming=data_args.streaming, seed=training_args.seed,
         )
-        if max_samples:
+        if data_args.streaming:
+            # IterableDatasets have no len/index; draw the requested sample
+            # budget lazily (probability-weighted across "+"-specs) and
+            # materialize just those rows for stage 1 + tokenization
+            if not max_samples:
+                raise SystemExit(
+                    "streaming=True requires max_train_samples / "
+                    "max_eval_samples to bound the draw"
+                )
+            import itertools
+
+            ds = list(itertools.islice(iter(ds), max_samples))
+        elif max_samples:
             ds = ds.select(range(min(max_samples, len(ds))))
 
         coll = DataCollatorEncodecWithPadding(
@@ -531,17 +579,34 @@ def run_eval(model, state, collator, eval_features, training_args, tracker, step
     pc = jax.process_count()
     losses = []
     bs = training_args.per_device_eval_batch_size * max(jax.device_count(), 1)
-    for i in range(0, len(eval_features) - bs + 1, bs):
-        batch = collator(eval_features[i : i + bs])
+
+    def run_one(feats, nbs):
+        batch = collator(feats)
         if pc > 1:
             from ..parallel.distributed import host_local_to_global, local_batch_slice
 
-            sl = local_batch_slice(bs)
+            sl = local_batch_slice(nbs)
             batch = host_local_to_global(jax.tree.map(lambda x: x[sl], batch), mesh)
         else:
             batch = jax.tree.map(jnp.asarray, batch)
         loss, _ = eval_loss(state.params, batch)
         losses.append(float(loss))
+
+    n_full = (len(eval_features) // bs) * bs
+    for i in range(0, n_full, bs):
+        run_one(eval_features[i : i + bs], bs)
+    # remainder: run the tail at its own (process-divisible) size instead of
+    # silently skipping — a small eval set must still yield a metric
+    rem = len(eval_features) - n_full
+    rem -= rem % pc
+    if rem > 0:
+        if n_full == 0:
+            logger.warning(
+                "eval set (%d) smaller than the global eval batch (%d); "
+                "running one remainder batch (extra one-off compile)",
+                len(eval_features), bs,
+            )
+        run_one(eval_features[n_full : n_full + rem], rem)
     if losses:
         log_metric(tracker, {"loss": float(np.mean(losses))}, 0.0, step, epoch, prefix="eval")
     return float(np.mean(losses)) if losses else None
@@ -550,31 +615,54 @@ def run_eval(model, state, collator, eval_features, training_args, tracker, step
 def run_eval_generation(
     model, state, dac, dac_params, eval_features, model_args, training_args,
     tracker, step, epoch, tokenizers=None, max_samples: int = 8,
+    pipe_cache: Optional[dict] = None, mesh=None,
 ):
     """Eval-time generation + functional metrics (reference generate_step +
     compute_metrics, run_parler_tts_training.py:1137-1206): synthesize a few
     eval samples, score WER/CLAP/SI-SDR when the optional deps exist, and log
-    transcription tables + audio clips."""
-    if jax.process_count() > 1:
-        # the generate pipeline applies params on one host; multi-host-sharded
-        # params are non-addressable here. Eval LOSS still runs (run_eval);
-        # generation metrics need a single-host restore of the checkpoint.
-        logger.warning("skipping eval generation under multi-host training")
-        return None
+    transcription tables + audio clips.
+
+    Multi-host: params are replicated across the mesh by a jitted identity
+    (XLA inserts the all-gathers; replicated leaves are free) and every
+    process reads its now-complete local shard and generates the same
+    deterministic samples, so metrics are rank-identical (the reference
+    gathers the GENERATIONS across ranks instead, :1154-1206 — same result,
+    params are the smaller transfer at 8-sample eval scale).
+
+    `pipe_cache`: mutable dict holding the pipeline across eval steps — the
+    jitted generate program compiles once; later calls only swap params.
+    """
     from ..runtime.pipeline import ParlerTTSPipeline
     from .eval_metrics import clap_similarity, si_sdr, wer
 
     cfg = model.config
-    gen = GenerationConfig(
-        max_length=min(model_args.max_length, 860),
-        do_sample=model_args.do_sample,
-        temperature=model_args.temperature,
-        bos_token_id=cfg.decoder.bos_token_id,
-        pad_token_id=cfg.decoder.pad_token_id,
-        eos_token_id=cfg.decoder.eos_token_id,
-        codebook_guard=cfg.audio_encoder.codebook_size,
-    )
-    pipe = ParlerTTSPipeline(model, state.params, dac, dac_params, gen)
+    if jax.process_count() > 1:
+        if mesh is None:
+            raise ValueError("multi-host eval generation requires the mesh")
+        from ..parallel.mesh import replicated
+
+        reps = jax.jit(lambda t: t, out_shardings=replicated(mesh))(state.params)
+        host_params = jax.tree.map(
+            lambda a: np.asarray(a.addressable_data(0)), reps
+        )
+    else:
+        host_params = state.params
+    if pipe_cache is not None and "pipe" in pipe_cache:
+        pipe = pipe_cache["pipe"]
+        pipe.params = jax.device_put(host_params)
+    else:
+        gen = GenerationConfig(
+            max_length=min(model_args.max_length, 860),
+            do_sample=model_args.do_sample,
+            temperature=model_args.temperature,
+            bos_token_id=cfg.decoder.bos_token_id,
+            pad_token_id=cfg.decoder.pad_token_id,
+            eos_token_id=cfg.decoder.eos_token_id,
+            codebook_guard=cfg.audio_encoder.codebook_size,
+        )
+        pipe = ParlerTTSPipeline(model, host_params, dac, dac_params, gen)
+        if pipe_cache is not None:
+            pipe_cache["pipe"] = pipe
 
     feats = eval_features[:max_samples]
     desc_tok, prompt_tok = tokenizers if tokenizers else (None, None)

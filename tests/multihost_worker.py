@@ -89,6 +89,50 @@ def main():
     )
     print(f"EVAL {eval_loss:.8f}", flush=True)
 
+    # multi-host eval GENERATION (reference gathers generations across ranks,
+    # run_parler_tts_training.py:1154-1206; here params are allgathered and
+    # every rank generates the same deterministic samples): the audio
+    # fingerprint must be rank-identical
+    import dataclasses
+
+    from parler_tts_tpu.codec.dac_model import DACModel
+    from parler_tts_tpu.config import DACConfig
+    from parler_tts_tpu.training.arguments import ModelArguments
+    from parler_tts_tpu.training.run_training import run_eval_generation
+
+    dac_cfg = DACConfig(
+        num_codebooks=4, codebook_size=88, codebook_dim=4, latent_dim=32,
+        encoder_dim=4, encoder_rates=(2, 4), decoder_dim=32, decoder_rates=(4, 2),
+        sampling_rate=8000, frame_rate=1000,
+    )
+    gen_model = model.clone(config=dataclasses.replace(cfg, audio_encoder=dac_cfg))
+    dac = DACModel(dac_cfg)
+    dac_params = dac.init(
+        jax.random.key(1), np.zeros((1, 4, 2), np.int32), method="decode"
+    )["params"]
+    margs = ModelArguments(max_length=16, do_sample=False)
+    targs = TrainingArguments(
+        per_device_eval_batch_size=2,
+        compute_clap_similarity_metric=False, compute_noise_level_metric=False,
+    )
+    fingerprint = {}
+
+    def spy_log_pred(tracker, descs, prompts, trans, clips, sr, step):
+        fingerprint["v"] = float(sum(np.abs(c).sum() for c in clips))
+
+    import parler_tts_tpu.training.run_training as rt
+
+    orig = rt.log_pred
+    rt.log_pred = spy_log_pred
+    try:
+        run_eval_generation(
+            gen_model, state, dac, dac_params, feats[:2], margs, targs,
+            None, 1, 0, mesh=mesh,
+        )
+    finally:
+        rt.log_pred = orig
+    print(f"EVALGEN {fingerprint['v']:.6f}", flush=True)
+
 
 if __name__ == "__main__":
     main()

@@ -47,13 +47,19 @@ def test_two_process_training_step_invariants():
         assert lines, out[-2000:]
         _, loss, items = lines[0].split()
         results.append((float(loss), float(items)))
-        eval_lines = [l for l in out.splitlines() if l.startswith("EVAL")]
+        eval_lines = [l for l in out.splitlines() if l.startswith("EVAL ")]
         assert eval_lines, out[-2000:]
         evals.append(float(eval_lines[0].split()[1]))
+    gens = []
+    for out in outs:
+        gen_lines = [l for l in out.splitlines() if l.startswith("EVALGEN")]
+        assert gen_lines, out[-2000:]
+        gens.append(float(gen_lines[0].split()[1]))
     # both ranks observe the SAME psum'd loss and global token count,
-    # and the multi-host eval path agrees across ranks too
+    # and the multi-host eval + eval-generation paths agree across ranks too
     assert results[0] == results[1], results
     assert evals[0] == evals[1] and np.isfinite(evals[0]), evals
+    assert gens[0] == gens[1] and gens[0] > 0, gens
 
     # single-process ground truth over the same global batch
     from parler_tts_tpu.models.parler import ParlerTTS
