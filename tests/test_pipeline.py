@@ -414,3 +414,26 @@ def test_num_return_sequences(pipe):
                                generation_config=greedy, frame_bucket=8)
     with pytest.raises(ValueError, match="num_return_sequences"):
         pipe_g.generate_codes(desc, dm, prompt, pm, seed=4)
+
+
+def test_stream_batch_voice_steering_matches_single_stream(pipe):
+    """Voice steering in BATCHED streaming (round-3 gap close): per-stream
+    decoder_prompt_codes must produce chunk-for-chunk the same audio as the
+    steered B=1 `stream` path."""
+    desc, dm, prompt, pm = _ids(seed=8, b=1)
+    rng = np.random.default_rng(17)
+    voice = rng.integers(0, PAD, size=(1, 4, 3)).astype(np.int32)
+
+    single = list(pipe.stream(desc, dm, prompt, pm, play_steps=6, seed=31,
+                              decoder_prompt_codes=voice))
+
+    d2, m2 = np.tile(desc, (2, 1)), np.tile(dm, (2, 1))
+    p2, q2 = np.tile(prompt, (2, 1)), np.tile(pm, (2, 1))
+    v2 = np.tile(voice, (2, 1, 1))
+    batched = list(pipe.stream_batch(d2, m2, p2, q2, play_steps=6, seed=31,
+                                     decoder_prompt_codes=v2))
+    assert len(batched) == len(single) and len(batched) > 0
+    for (chunk, valid), ref_chunk in zip(batched, single):
+        assert chunk.shape == (2, ref_chunk.shape[1])
+        for i in range(2):
+            np.testing.assert_allclose(chunk[i], ref_chunk[0], atol=1e-3)
