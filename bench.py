@@ -93,7 +93,15 @@ def build_pipeline(max_length: int, seconds_target: float):
 def main():
     from parler_tts_tpu.utils.compile_cache import enable_compilation_cache
 
-    cache_dir = enable_compilation_cache()
+    # The repo ships the bench's compiled-executable cache (.xla_cache/,
+    # ~116 MB, 8 entries): a cold host deserializes the v5e executables in
+    # seconds instead of paying the ~11-minute XLA compile of the speculative
+    # while_loop + codec + stream programs. Keys include the jax/XLA versions
+    # and chip type, so a mismatched host falls back to a normal cold compile.
+    repo_cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".xla_cache")
+    cache_dir = enable_compilation_cache(
+        os.environ.get("PARLER_TTS_TPU_CACHE_DIR") or repo_cache
+    )
     _progress(f"compilation cache: {cache_dir}")
 
     frame_rate = 86
