@@ -32,7 +32,44 @@ def main():
     windows = [int(w) for w in (sys.argv[2].split(",") if len(sys.argv) > 2
                                 else ("4", "8", "16"))]
 
-    if len(sys.argv) > 1 and not sys.argv[1].isdigit():
+    if len(sys.argv) > 1 and sys.argv[1] == "large":
+        # large-v1 (2.3B-class decoder) with random bf16 weights: quantifies
+        # how speculation moves the BIG-model B=1 latency story
+        import jax.numpy as jnp
+
+        from parler_tts_tpu.codec.dac_model import DACModel
+        from parler_tts_tpu.config import (
+            GenerationConfig, ParlerTTSConfig, large_v1_decoder_config,
+        )
+        from parler_tts_tpu.models.parler import ParlerTTS
+        from parler_tts_tpu.utils.dtypes import cast_floating
+
+        cfg = ParlerTTSConfig(decoder=large_v1_decoder_config())
+        gen = GenerationConfig(
+            max_length=max_length, min_new_tokens=max_length, do_sample=True,
+            temperature=1.0, bos_token_id=cfg.decoder.bos_token_id,
+            pad_token_id=cfg.decoder.pad_token_id,
+            eos_token_id=cfg.decoder.eos_token_id,
+            codebook_guard=cfg.audio_encoder.codebook_size,
+        )
+        model = ParlerTTS(cfg, dtype=jnp.bfloat16)
+        k1, k2 = jax.random.split(jax.random.key(0))
+        params = jax.jit(model.init)(
+            k1,
+            jnp.zeros((1, 4), jnp.int32), jnp.ones((1, 4), jnp.int32),
+            jnp.zeros((1, 3), jnp.int32), jnp.ones((1, 3), jnp.int32),
+            jnp.zeros((1, 2, cfg.decoder.num_codebooks), jnp.int32),
+        )["params"]
+        params = cast_floating(params, jnp.bfloat16)
+        dac = DACModel(cfg.audio_encoder)
+        dac_params = jax.jit(
+            lambda k: dac.init(
+                k, jnp.zeros((1, cfg.audio_encoder.num_codebooks, 2), jnp.int32),
+                method="decode",
+            )
+        )(k2)["params"]
+        base = ParlerTTSPipeline(model, params, dac, dac_params, gen)
+    elif len(sys.argv) > 1 and not sys.argv[1].isdigit():
         base = ParlerTTSPipeline.from_pretrained(sys.argv[1])
         cfg = base.config
         gen = base.generation_config

@@ -247,6 +247,7 @@ class ParlerTTSPipeline:
         # column count per forward is data/checkpoint-dependent; stats from
         # the last call land in `self.last_spec_stats`.
         self._generate_spec_fn = None
+        self._spec_window = speculative_window
         self.last_spec_stats = None
         if speculative_window is not None:
             assert not fused_decode, (
@@ -510,6 +511,24 @@ class ParlerTTSPipeline:
         return self.decode_codes(out.codes, out.lengths)
 
     # --------------------------------------------------------------- streaming
+
+    def _ensure_stream_fns(self):
+        """Lazy (prefill, chunk-step) pair; speculative when the pipeline was
+        built with `speculative_window` (each flush then advances >= play_steps
+        columns in ~play_steps/cols-per-forward forwards)."""
+        if self._stream_fns is None:
+            if self._spec_window is not None:
+                from .speculative import make_stream_functions_speculative
+
+                self._stream_fns = make_stream_functions_speculative(
+                    self.model, self.generation_config, window=self._spec_window
+                )
+            else:
+                self._stream_fns = make_stream_functions(
+                    self.model, self.generation_config
+                )
+        return self._stream_fns
+
     def stream(
         self,
         desc_ids: np.ndarray,
@@ -540,9 +559,7 @@ class ParlerTTSPipeline:
         """
         from ..ops.delay_pattern import undelay_pattern, valid_frame_lengths
 
-        if self._stream_fns is None:
-            self._stream_fns = make_stream_functions(self.model, self.generation_config)
-        prefill_fn, step_fn = self._stream_fns
+        prefill_fn, step_fn = self._ensure_stream_fns()
         dcfg = self.config.decoder
         hop = self.config.audio_encoder.hop_length
         stride = hop * max(play_steps - dcfg.num_codebooks, 1) // 6  # streamer.py:53-57
@@ -633,9 +650,7 @@ class ParlerTTSPipeline:
         """
         from ..ops.delay_pattern import undelay_pattern, valid_frame_lengths
 
-        if self._stream_fns is None:
-            self._stream_fns = make_stream_functions(self.model, self.generation_config)
-        prefill_fn, step_fn = self._stream_fns
+        prefill_fn, step_fn = self._ensure_stream_fns()
         dcfg = self.config.decoder
         hop = self.config.audio_encoder.hop_length
         stride = hop * max(play_steps - dcfg.num_codebooks, 1) // 6

@@ -26,14 +26,17 @@ arXiv 2402.02057):
     forward's distributions (each next-window slot gets an INDEPENDENT draw,
     a requirement for the rejection identity).
 
+Both the offline generate loop and the STREAMING chunk loop
+(`make_stream_functions_speculative`) run on the same `_spec_step` body; the
+streaming variant advances at least `play_steps` columns per flush in
+~play_steps/cols-per-forward forwards.
+
 The reference has no equivalent (its `generate` is strictly one column per
-forward, `/root/reference/parler_tts/modeling_parler_tts.py:3321-3653`); the
-closest public analogue is its own "serving lever" framing in
-`/root/reference/INFERENCE.md`.
+forward, `/root/reference/parler_tts/modeling_parler_tts.py:3321-3653`).
 
 Exactness is CPU-tested: greedy output is token-identical to
-`generate_tokens`; sampled output matches the AR sampling distribution
-(tests/test_speculative.py).
+`generate_tokens` (offline and streaming); sampled output matches the AR
+sampling distribution (tests/test_speculative.py).
 """
 
 from __future__ import annotations
@@ -64,7 +67,7 @@ from ..ops.sampling import (
     mask_eos_ordering,
     record_sampled,
     speculative_accept,
-    suppress_eos_before_min_length,
+    suppress_eos_before_min_length,  # noqa: F401 (API surface parity)
 )
 from .generate import GenerateOutput, _sample_column
 
@@ -77,7 +80,14 @@ class SpecStats(NamedTuple):
 
 
 @flax.struct.dataclass
-class SpecLoopState:
+class SpecState:
+    """Carried state of the speculative loop (offline AND streaming).
+
+    Buffers are W-extended: `out_ids`/`pattern_ext` span L + 2W columns
+    (columns >= L forced to PAD so the window machinery never leaves the AR
+    tail's conditioning), the KV cache spans s_p + L + W slots.
+    """
+
     out_ids: jnp.ndarray             # (B, K, L + 2W) stored (pattern-overridden) ids
     cand_toks: jnp.ndarray           # (W, B, K) pre-override candidates for cols [t, t+W)
     cand_q: Optional[jnp.ndarray]    # (W, B, K, V) proposal distributions (None = greedy)
@@ -86,9 +96,16 @@ class SpecLoopState:
     rng: jax.Array
     t: jnp.ndarray                   # () int32 — next column to finalize
     n_fwd: jnp.ndarray               # () int32
+    # loop-invariant context (carried so separate jits — stream prefill vs
+    # chunk step — share one body implementation)
+    pattern_ext: jnp.ndarray         # (B, K, L + 2W)
+    kv_valid: jnp.ndarray            # (B, S_cache)
+    enc_mask: jnp.ndarray            # (B, S_enc)
+    s_p: jnp.ndarray                 # () int32 prompt-prefix length
+    prompt_cols: jnp.ndarray         # () int32 decoder-prompt cols (min_new_tokens base)
 
 
-def _base_logits(logits, col_idx, gen: GenerationConfig, prompt_cols: int):
+def _base_logits(logits, col_idx, gen: GenerationConfig, prompt_cols):
     """The EOS-state-independent prefix of the processor chain
     (`generate._sample_column` order): codebook_guard -> min-length EOS
     suppression. `col_idx` may be a scalar or a (W,) vector of column indices
@@ -109,176 +126,27 @@ def _base_logits(logits, col_idx, gen: GenerationConfig, prompt_cols: int):
     return x
 
 
-def generate_tokens_speculative(
-    model: ParlerTTS,
-    gen: GenerationConfig,
-    params,
-    desc_ids: jnp.ndarray,
-    desc_mask: Optional[jnp.ndarray],
-    prompt_ids: jnp.ndarray,
-    prompt_mask: Optional[jnp.ndarray],
-    rng: jax.Array,
-    decoder_prompt_codes: Optional[jnp.ndarray] = None,
-    cache_dtype=jnp.bfloat16,
-    window: int = 8,
-):
-    """Speculative generation; same contract as `generate_tokens` plus stats.
+def _make_spec_step(model: ParlerTTS, gen: GenerationConfig, window: int):
+    """Build the one-forward-per-window body: SpecState -> SpecState.
 
-    Greedy (do_sample=False) is token-identical to the AR loop. Sampling
-    preserves the AR sampling distribution but consumes the rng stream
-    differently, so individual draws differ from `generate_tokens` at equal
-    seeds. With B > 1 the accept horizon is shared across rows (the window
-    advances by the minimum accepted prefix over the batch): still exact per
-    row, but acceptance decays with B — speculation is a small-batch
-    latency lever.
+    Static closure over (model, gen, window); everything traced comes from
+    the state, so the same body serves the offline while_loop and the
+    streaming chunk scan (separate jits).
     """
-    assert window >= 1
-    cfg: ParlerTTSConfig = model.config
-    dcfg = cfg.decoder
-    k_cb, max_len = dcfg.num_codebooks, gen.max_length
-    w = window
-    b = desc_ids.shape[0]
-    variables = {"params": params}
+    dcfg = model.config.decoder
+    k_cb, max_len, w = dcfg.num_codebooks, gen.max_length, window
     eos_id, pad_id = gen.eos_token_id, gen.pad_token_id
-    # warp chain hoistable out of the verify scan? temperature commutes with
-    # the EOS-ordering mask; top-k / top-p do NOT (the reference applies them
-    # AFTER the mask, logits_processors.py order) -> full in-scan chain then.
-    hoist = gen.top_k <= 0 and gen.top_p >= 1.0
     greedy = not gen.do_sample
-
-    span = (0 if cfg.prompt_cross_attention else prompt_ids.shape[1]) + max_len + w
-    if span > dcfg.max_position_embeddings:
-        raise ValueError(
-            f"prompt + max_length + window ({span}) exceeds "
-            f"max_position_embeddings={dcfg.max_position_embeddings}"
-        )
-
-    if desc_mask is None:
-        desc_mask = jnp.ones_like(desc_ids)
-    if prompt_mask is None:
-        prompt_mask = jnp.ones_like(prompt_ids)
-
-    # ---- encoder precompute (identical to generate_tokens)
-    enc = model.apply(variables, desc_ids, desc_mask, method="encode_description")
-    prompt = model.apply(variables, prompt_ids, method="prompt_hidden")
-    enc_states, enc_mask = model.apply(
-        variables, enc, desc_mask,
-        prompt if cfg.prompt_cross_attention else None,
-        prompt_mask if cfg.prompt_cross_attention else None,
-        method="build_encoder_states",
-    )
-    if cfg.prompt_cross_attention:
-        s_p = 0
-        prefix = jnp.zeros((b, 0, dcfg.hidden_size), enc_states.dtype)
-        prefix_mask = jnp.zeros((b, 0), jnp.int32)
-    else:
-        s_p = prompt_ids.shape[1]
-        prefix = prompt
-        prefix_mask = prompt_mask.astype(jnp.int32)
-
-    # ---- delay pattern, extended by 2W columns of forced PAD so the window
-    # machinery never indexes past the true pattern (columns >= L are never
-    # finalized; forcing PAD keeps their conditioning identical to the AR tail)
-    start = jnp.full((b, k_cb, 1), gen.bos_token_id, jnp.int32)
-    if decoder_prompt_codes is not None:
-        start = jnp.concatenate(
-            [start, decoder_prompt_codes.astype(jnp.int32)], axis=-1
-        )
-    first_ids, pattern = build_delay_pattern_mask(
-        start, gen.bos_token_id, pad_id, max_len
-    )
-    pattern_ext = jnp.concatenate(
-        [pattern, jnp.full((b, k_cb, 2 * w), pad_id, pattern.dtype)], axis=-1
-    )
-    out_ids = jnp.where(pattern_ext == -1, pad_id, pattern_ext)
-
-    # ---- cache + masks (W extra slots: the window forward writes K/V up to
-    # column t+W-2 <= L+W-3)
-    s_cache = s_p + max_len + w
-    cache = DecoderCache.zeros(dcfg, b, s_cache, enc_states.shape[1], cache_dtype)
-    cross_k, cross_v = model.apply(
-        variables, enc_states, method=lambda m, x: m.decoder_lm.precompute_cross_kv(x)
-    )
-    cache = cache.replace(cross_k=cross_k, cross_v=cross_v)
-    kv_valid = jnp.concatenate(
-        [prefix_mask.astype(bool), jnp.ones((b, s_cache - s_p), bool)], axis=1
-    )
+    hoist = gen.top_k <= 0 and gen.top_p >= 1.0
     win_cfg = (
         dcfg.sliding_window if gen.cache_implementation == "sliding_window" else None
     )
-
-    def decoder_forward(embeds, abs_positions, cache):
-        bias = causal_self_attention_bias(abs_positions, kv_valid, win_cfg)
-        cross_bias = padding_cross_attention_bias(enc_mask, embeds.shape[1])
-        return model.apply(
-            variables, embeds, abs_positions,
-            self_attn_bias=bias, cross_attn_bias=cross_bias, cache=cache,
-            method=lambda m, *a, **kw: m.decoder_lm(*a, **kw),
-        )
-
-    def embed_ids(ids):
-        return model.apply(
-            variables, ids, method=lambda m, x: m.decoder_lm.embed_ids(x)
-        )
-
-    # ---- prefill + first sampled column (identical to the AR path)
-    s0 = first_ids.shape[-1]
-    emb0 = embed_ids(first_ids)
-    pre_embeds = jnp.concatenate([prefix.astype(emb0.dtype), emb0], axis=1)
-    abs_pos = jnp.broadcast_to(jnp.arange(s_p + s0), (b, s_p + s0))
-    logits_pre, cache = decoder_forward(pre_embeds, abs_pos, cache)
-
-    rng, r1 = jax.random.split(rng)
-    eos_state = init_eos_state(b, k_cb)
-    col1, eos_state = _sample_column(
-        logits_pre[:, :, -1, :], jnp.int32(s0), eos_state, pattern, r1, gen,
-        k_cb, prompt_cols=s0,
-    )
-    out_ids = jax.lax.dynamic_update_slice(out_ids, col1[:, :, None], (0, 0, s0))
-
-    # ---- initial candidate window for columns [s0+1, s0+W], proposed from the
-    # prefill column's distribution (any known proposal is valid)
-    t0 = s0 + 1
-    x1 = _base_logits(logits_pre[:, :, -1, :], jnp.int32(s0), gen, s0)
-    adv0 = advance_eos_state(eos_state, k_cb)
-    if greedy:
-        xm = mask_eos_ordering(x1, adv0, eos_id)
-        raw = jnp.argmax(xm, axis=-1).astype(jnp.int32)
-        raw = jnp.where(adv0.eos_seen, pad_id, raw)
-        cand_toks = jnp.broadcast_to(raw[None], (w, b, k_cb))
-        cand_q = None
-    else:
-        if hoist:
-            xw = x1 / gen.temperature if gen.temperature != 1.0 else x1
-        else:
-            xm = mask_eos_ordering(x1, adv0, eos_id)
-            xw = xm / gen.temperature if gen.temperature != 1.0 else xm
-            xw = apply_top_k(xw, gen.top_k)
-            xw = apply_top_p(xw, gen.top_p)
-        q0 = jax.nn.softmax(xw, axis=-1)
-        rng, rp = jax.random.split(rng)
-        g = jax.random.gumbel(rp, (b, k_cb, w, xw.shape[-1]), jnp.float32)
-        props0 = jnp.argmax(xw[:, :, None, :] + g, axis=-1).astype(jnp.int32)
-        cand_toks = jnp.moveaxis(props0, 2, 0)            # (W, B, K)
-        cand_q = jnp.broadcast_to(q0[None], (w, b, k_cb) + q0.shape[-1:])
-    pat0 = jnp.moveaxis(
-        jax.lax.dynamic_slice(pattern_ext, (0, 0, t0), (b, k_cb, w)), 2, 0
-    )
-    stored0 = jnp.where(pat0 == -1, cand_toks, pat0)
-    out_ids = jax.lax.dynamic_update_slice(
-        out_ids, jnp.moveaxis(stored0, 0, 2), (0, 0, t0)
-    )
-
     eos_oh = jax.nn.one_hot(eos_id, dcfg.vocab_size, dtype=bool)[None, None, :]
     pad_oh = jax.nn.one_hot(pad_id, dcfg.vocab_size, dtype=jnp.float32)[None, None, :]
     cb_idx = jnp.arange(k_cb)[None, :]
 
-    def verify_scan(logits, state: SpecLoopState, uniforms, res_g, prop_g):
+    def verify_scan(logits, state: SpecState, uniforms, res_g, prop_g):
         """Sequential accept/verify over the W window columns.
-
-        Returns (finals (W,B,K), stored (W,B,K), finalized (W,), q_vecs,
-        props, n_accepted, eos_after_accepted).
-        `logits`: (B, K, W, V) from the window forward.
 
         Two EOS trajectories are carried: `eos_prop` follows the CANDIDATE
         tokens (the conditioning of this forward's distributions — valid as
@@ -286,8 +154,9 @@ def generate_tokens_speculative(
         the FINALIZED tokens and freezes once accepting stops. They coincide
         on the accepted prefix, which is what makes the verify exact.
         """
+        b = logits.shape[0]
         col_idx = state.t + jnp.arange(w)                     # (W,)
-        x = _base_logits(logits, col_idx, gen, s0)            # (B, K, W, V)
+        x = _base_logits(logits, col_idx, gen, state.prompt_cols)  # (B, K, W, V)
         props_pre = None
         if greedy:
             xs_main = jnp.moveaxis(x, 2, 0)                   # (W, B, K, V) logits
@@ -302,7 +171,9 @@ def generate_tokens_speculative(
         else:
             xs_main = jnp.moveaxis(x, 2, 0)                   # logits; chain in-scan
         pat_w = jnp.moveaxis(
-            jax.lax.dynamic_slice(pattern_ext, (0, 0, state.t), (b, k_cb, w)),
+            jax.lax.dynamic_slice(
+                state.pattern_ext, (0, 0, state.t), (b, k_cb, w)
+            ),
             2, 0,
         )
 
@@ -379,11 +250,9 @@ def generate_tokens_speculative(
             props = props_pre
         return finals, stored, finalized, q_vecs, props, n_acc, eos_real_f
 
-    def cond(s: SpecLoopState):
-        return (s.t < max_len) & ~jnp.all(s.eos.eos_seen)
-
-    def body(s: SpecLoopState):
-        rng, ru, rr, rp = jax.random.split(s.rng, 4)
+    def spec_step(variables, state: SpecState) -> SpecState:
+        b = state.out_ids.shape[0]
+        rng, ru, rr, rp = jax.random.split(state.rng, 4)
         v = dcfg.vocab_size
         uniforms = res_g = prop_g = None
         if not greedy:
@@ -396,16 +265,24 @@ def generate_tokens_speculative(
 
         # ---- one forward over the whole window: inputs = columns t-1..t+W-2
         inputs = jax.lax.dynamic_slice(
-            s.out_ids, (0, 0, s.t - 1), (b, k_cb, w)
+            state.out_ids, (0, 0, state.t - 1), (b, k_cb, w)
         )
-        emb = embed_ids(inputs)
+        emb = model.apply(
+            variables, inputs, method=lambda m, x: m.decoder_lm.embed_ids(x)
+        )
         q_pos = jnp.broadcast_to(
-            s_p + (s.t - 1) + jnp.arange(w)[None, :], (b, w)
+            state.s_p + (state.t - 1) + jnp.arange(w)[None, :], (b, w)
         ).astype(jnp.int32)
-        logits, cache = decoder_forward(emb, q_pos, s.cache)   # (B, K, W, V)
+        bias = causal_self_attention_bias(q_pos, state.kv_valid, win_cfg)
+        cross_bias = padding_cross_attention_bias(state.enc_mask, w)
+        logits, cache = model.apply(
+            variables, emb, q_pos,
+            self_attn_bias=bias, cross_attn_bias=cross_bias, cache=state.cache,
+            method=lambda m, *a, **kw: m.decoder_lm(*a, **kw),
+        )                                                      # (B, K, W, V)
 
         finals, stored_f, finalized, q_vecs, props, n_acc, eos_new = verify_scan(
-            logits, s, uniforms, res_g, prop_g
+            logits, state, uniforms, res_g, prop_g
         )
         n = n_acc  # >= 1: the first window column is always finalized
 
@@ -424,14 +301,18 @@ def generate_tokens_speculative(
             )[..., 0]                                          # (W, B, K)
             new_q = jnp.take(q_vecs, src, axis=0)              # (W, B, K, V)
         pat_next = jnp.moveaxis(
-            jax.lax.dynamic_slice(pattern_ext, (0, 0, s.t + n), (b, k_cb, w)),
+            jax.lax.dynamic_slice(
+                state.pattern_ext, (0, 0, state.t + n), (b, k_cb, w)
+            ),
             2, 0,
         )
         new_stored = jnp.where(pat_next == -1, new_cand, pat_next)
 
         # ---- write finals + next candidates back in one 2W-wide block
         cur = jnp.moveaxis(
-            jax.lax.dynamic_slice(s.out_ids, (0, 0, s.t), (b, k_cb, 2 * w)), 2, 0
+            jax.lax.dynamic_slice(
+                state.out_ids, (0, 0, state.t), (b, k_cb, 2 * w)
+            ), 2, 0
         )                                                      # (2W, B, K)
         i_idx = jnp.arange(2 * w)
         fin_sel = jnp.take(stored_f, jnp.clip(i_idx, 0, w - 1), axis=0)
@@ -441,27 +322,215 @@ def generate_tokens_speculative(
             jnp.where((i_idx < n + w)[:, None, None], cand_sel, cur),
         )
         out = jax.lax.dynamic_update_slice(
-            s.out_ids, jnp.moveaxis(blk, 0, 2), (0, 0, s.t)
+            state.out_ids, jnp.moveaxis(blk, 0, 2), (0, 0, state.t)
         )
 
         # roll the cache write pointer back to s_p + (t + n) - 1: rejected
         # columns' K/V rows are rewritten by the next forward before any
         # query can attend to them (causal bias masks slots > query position)
         cache = cache.replace(index=cache.index - w + n)
-        return SpecLoopState(
-            out, new_cand, new_q, cache, eos_new, rng,
-            s.t + n, s.n_fwd + 1,
+        return state.replace(
+            out_ids=out, cand_toks=new_cand, cand_q=new_q, cache=cache,
+            eos=eos_new, rng=rng, t=state.t + n, n_fwd=state.n_fwd + 1,
         )
 
-    init = SpecLoopState(
-        out_ids, cand_toks, cand_q, cache, eos_state, rng,
-        jnp.int32(t0), jnp.int32(0),
+    return spec_step
+
+
+def _init_spec_state(
+    model: ParlerTTS,
+    gen: GenerationConfig,
+    variables,
+    desc_ids, desc_mask, prompt_ids, prompt_mask, rng,
+    decoder_prompt_codes,
+    cache_dtype,
+    window: int,
+):
+    """Shared setup: encoder precompute, delay pattern, cache, prefill, first
+    sampled column, initial candidate window. Returns (SpecState, pattern)."""
+    cfg: ParlerTTSConfig = model.config
+    dcfg = cfg.decoder
+    k_cb, max_len, w = dcfg.num_codebooks, gen.max_length, window
+    b = desc_ids.shape[0]
+    eos_id, pad_id = gen.eos_token_id, gen.pad_token_id
+    greedy = not gen.do_sample
+    hoist = gen.top_k <= 0 and gen.top_p >= 1.0
+    win_cfg = (
+        dcfg.sliding_window if gen.cache_implementation == "sliding_window" else None
     )
-    final = jax.lax.while_loop(cond, body, init)
+
+    span = (0 if cfg.prompt_cross_attention else prompt_ids.shape[1]) + max_len + w
+    if span > dcfg.max_position_embeddings:
+        raise ValueError(
+            f"prompt + max_length + window ({span}) exceeds "
+            f"max_position_embeddings={dcfg.max_position_embeddings}"
+        )
+
+    if desc_mask is None:
+        desc_mask = jnp.ones_like(desc_ids)
+    if prompt_mask is None:
+        prompt_mask = jnp.ones_like(prompt_ids)
+
+    # ---- encoder precompute (identical to generate_tokens)
+    enc = model.apply(variables, desc_ids, desc_mask, method="encode_description")
+    prompt = model.apply(variables, prompt_ids, method="prompt_hidden")
+    enc_states, enc_mask = model.apply(
+        variables, enc, desc_mask,
+        prompt if cfg.prompt_cross_attention else None,
+        prompt_mask if cfg.prompt_cross_attention else None,
+        method="build_encoder_states",
+    )
+    if cfg.prompt_cross_attention:
+        s_p = 0
+        prefix = jnp.zeros((b, 0, dcfg.hidden_size), enc_states.dtype)
+        prefix_mask = jnp.zeros((b, 0), jnp.int32)
+    else:
+        s_p = prompt_ids.shape[1]
+        prefix = prompt
+        prefix_mask = prompt_mask.astype(jnp.int32)
+    if enc_mask is None:
+        enc_mask = jnp.ones(enc_states.shape[:2], jnp.int32)
+
+    # ---- delay pattern, extended by 2W columns of forced PAD so the window
+    # machinery never indexes past the true pattern (columns >= L are never
+    # finalized; forcing PAD keeps their conditioning identical to the AR tail)
+    start = jnp.full((b, k_cb, 1), gen.bos_token_id, jnp.int32)
+    if decoder_prompt_codes is not None:
+        start = jnp.concatenate(
+            [start, decoder_prompt_codes.astype(jnp.int32)], axis=-1
+        )
+    first_ids, pattern = build_delay_pattern_mask(
+        start, gen.bos_token_id, pad_id, max_len
+    )
+    pattern_ext = jnp.concatenate(
+        [pattern, jnp.full((b, k_cb, 2 * w), pad_id, pattern.dtype)], axis=-1
+    )
+    out_ids = jnp.where(pattern_ext == -1, pad_id, pattern_ext)
+
+    # ---- cache + masks (W extra slots: the window forward writes K/V up to
+    # column t+W-2 <= L+W-3)
+    s_cache = s_p + max_len + w
+    cache = DecoderCache.zeros(dcfg, b, s_cache, enc_states.shape[1], cache_dtype)
+    cross_k, cross_v = model.apply(
+        variables, enc_states, method=lambda m, x: m.decoder_lm.precompute_cross_kv(x)
+    )
+    cache = cache.replace(cross_k=cross_k, cross_v=cross_v)
+    kv_valid = jnp.concatenate(
+        [prefix_mask.astype(bool), jnp.ones((b, s_cache - s_p), bool)], axis=1
+    )
+
+    def embed_ids(ids):
+        return model.apply(
+            variables, ids, method=lambda m, x: m.decoder_lm.embed_ids(x)
+        )
+
+    # ---- prefill + first sampled column (identical to the AR path)
+    s0 = first_ids.shape[-1]
+    emb0 = embed_ids(first_ids)
+    pre_embeds = jnp.concatenate([prefix.astype(emb0.dtype), emb0], axis=1)
+    abs_pos = jnp.broadcast_to(jnp.arange(s_p + s0), (b, s_p + s0))
+    bias = causal_self_attention_bias(abs_pos, kv_valid, win_cfg)
+    cross_bias = padding_cross_attention_bias(enc_mask, s_p + s0)
+    logits_pre, cache = model.apply(
+        variables, pre_embeds, abs_pos,
+        self_attn_bias=bias, cross_attn_bias=cross_bias, cache=cache,
+        method=lambda m, *a, **kw: m.decoder_lm(*a, **kw),
+    )
+
+    rng, r1 = jax.random.split(rng)
+    eos_state = init_eos_state(b, k_cb)
+    col1, eos_state = _sample_column(
+        logits_pre[:, :, -1, :], jnp.int32(s0), eos_state, pattern, r1, gen,
+        k_cb, prompt_cols=s0,
+    )
+    out_ids = jax.lax.dynamic_update_slice(out_ids, col1[:, :, None], (0, 0, s0))
+
+    # ---- initial candidate window for columns [s0+1, s0+W], proposed from the
+    # prefill column's distribution (any known proposal is valid)
+    t0 = s0 + 1
+    x1 = _base_logits(logits_pre[:, :, -1, :], jnp.int32(s0), gen, s0)
+    adv0 = advance_eos_state(eos_state, k_cb)
+    if greedy:
+        xm = mask_eos_ordering(x1, adv0, eos_id)
+        raw = jnp.argmax(xm, axis=-1).astype(jnp.int32)
+        raw = jnp.where(adv0.eos_seen, pad_id, raw)
+        cand_toks = jnp.broadcast_to(raw[None], (w, b, k_cb))
+        cand_q = None
+    else:
+        if hoist:
+            xw = x1 / gen.temperature if gen.temperature != 1.0 else x1
+        else:
+            xm = mask_eos_ordering(x1, adv0, eos_id)
+            xw = xm / gen.temperature if gen.temperature != 1.0 else xm
+            xw = apply_top_k(xw, gen.top_k)
+            xw = apply_top_p(xw, gen.top_p)
+        q0 = jax.nn.softmax(xw, axis=-1)
+        rng, rp = jax.random.split(rng)
+        g = jax.random.gumbel(rp, (b, k_cb, w, xw.shape[-1]), jnp.float32)
+        props0 = jnp.argmax(xw[:, :, None, :] + g, axis=-1).astype(jnp.int32)
+        cand_toks = jnp.moveaxis(props0, 2, 0)            # (W, B, K)
+        cand_q = jnp.broadcast_to(q0[None], (w, b, k_cb) + q0.shape[-1:])
+    pat0 = jnp.moveaxis(
+        jax.lax.dynamic_slice(pattern_ext, (0, 0, t0), (b, k_cb, w)), 2, 0
+    )
+    stored0 = jnp.where(pat0 == -1, cand_toks, pat0)
+    out_ids = jax.lax.dynamic_update_slice(
+        out_ids, jnp.moveaxis(stored0, 0, 2), (0, 0, t0)
+    )
+
+    state = SpecState(
+        out_ids=out_ids, cand_toks=cand_toks, cand_q=cand_q, cache=cache,
+        eos=eos_state, rng=rng, t=jnp.int32(t0), n_fwd=jnp.int32(0),
+        pattern_ext=pattern_ext, kv_valid=kv_valid,
+        enc_mask=jnp.asarray(enc_mask), s_p=jnp.int32(s_p),
+        prompt_cols=jnp.int32(s0),
+    )
+    return state, pattern
+
+
+def generate_tokens_speculative(
+    model: ParlerTTS,
+    gen: GenerationConfig,
+    params,
+    desc_ids: jnp.ndarray,
+    desc_mask: Optional[jnp.ndarray],
+    prompt_ids: jnp.ndarray,
+    prompt_mask: Optional[jnp.ndarray],
+    rng: jax.Array,
+    decoder_prompt_codes: Optional[jnp.ndarray] = None,
+    cache_dtype=jnp.bfloat16,
+    window: int = 8,
+):
+    """Speculative generation; same contract as `generate_tokens` plus stats.
+
+    Greedy (do_sample=False) is token-identical to the AR loop. Sampling
+    preserves the AR sampling distribution but consumes the rng stream
+    differently, so individual draws differ from `generate_tokens` at equal
+    seeds. With B > 1 the accept horizon is shared across rows (the window
+    advances by the minimum accepted prefix over the batch): still exact per
+    row, but acceptance decays with B — speculation is a small-batch
+    latency lever.
+    """
+    assert window >= 1
+    dcfg = model.config.decoder
+    k_cb, max_len = dcfg.num_codebooks, gen.max_length
+    variables = {"params": params}
+
+    state, pattern = _init_spec_state(
+        model, gen, variables, desc_ids, desc_mask, prompt_ids, prompt_mask,
+        rng, decoder_prompt_codes, cache_dtype, window,
+    )
+    t0 = state.t  # s0 + 1 (traced)
+    spec_step = _make_spec_step(model, gen, window)
+
+    def cond(s: SpecState):
+        return (s.t < max_len) & ~jnp.all(s.eos.eos_seen)
+
+    final = jax.lax.while_loop(cond, lambda s: spec_step(variables, s), state)
 
     # columns >= t were never finalized; restore the AR tail (pattern PAD)
     cols = jnp.arange(max_len)[None, None, :]
-    default_tail = jnp.where(pattern == -1, pad_id, pattern)
+    default_tail = jnp.where(pattern == -1, gen.pad_token_id, pattern)
     out = jnp.where(
         cols >= final.t, default_tail, final.out_ids[:, :, :max_len]
     )
@@ -490,3 +559,48 @@ def make_generate_speculative(
         )
 
     return fn
+
+
+def make_stream_functions_speculative(
+    model: ParlerTTS,
+    gen: GenerationConfig,
+    window: int = 8,
+    cache_dtype=jnp.bfloat16,
+):
+    """(prefill_fn, step_chunk_fn) for SPECULATIVE streaming.
+
+    Same host-facing contract as `generate.make_stream_functions` (the state
+    exposes `.t`, `.eos`, `.out_ids`; the host slices finalized columns
+    `out_ids[:, :, :t]`), but each flush advances AT LEAST `n_steps` columns
+    in ~n_steps/cols-per-forward forwards instead of n_steps forwards —
+    the flush may overshoot by up to window-1 columns (the host sample-grid
+    bookkeeping is oblivious to chunk-size jitter).
+
+    Greedy streamed tokens are identical to the offline AR loop
+    (tests/test_speculative.py).
+    """
+    max_len = gen.max_length
+    spec_step = _make_spec_step(model, gen, window)
+
+    @jax.jit
+    def prefill_fn(params, desc_ids, desc_mask, prompt_ids, prompt_mask, rng,
+                   decoder_prompt_codes=None):
+        state, _ = _init_spec_state(
+            model, gen, {"params": params}, desc_ids, desc_mask, prompt_ids,
+            prompt_mask, rng, decoder_prompt_codes, cache_dtype, window,
+        )
+        return state
+
+    @functools.partial(jax.jit, static_argnames=("n_steps",))
+    def step_chunk_fn(params, state: SpecState, n_steps: int):
+        variables = {"params": params}
+        t_target = jnp.minimum(state.t + n_steps, max_len)
+
+        def cond(s: SpecState):
+            return (s.t < t_target) & ~jnp.all(s.eos.eos_seen)
+
+        return jax.lax.while_loop(
+            cond, lambda s: spec_step(variables, s), state
+        )
+
+    return prefill_fn, step_chunk_fn

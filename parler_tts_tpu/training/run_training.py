@@ -145,6 +145,14 @@ def data_iterator(features: List[dict], collator, batch_size: int, seed: int, ep
     local = batch_size // process_count
     sl = slice(process_index * local, (process_index + 1) * local)
     for i in range(0, len(order) - batch_size + 1, batch_size):
+        # Every process collates the FULL global batch then slices its rows:
+        # O(global batch) redundant host work per process, accepted
+        # deliberately — the collator's padded shapes depend on the whole
+        # batch (bucketing by the global max length), and all processes MUST
+        # agree on them or host_local_to_global assembles ragged shards.
+        # A per-process collate would need a shape-agreement broadcast; at
+        # reference batch sizes (<= 64 rows) the redundant collate is
+        # microseconds against a >100 ms train step.
         batch = collator([features[j] for j in order[i : i + batch_size]])
         if process_count > 1:
             batch = jax.tree.map(lambda x: x[sl], batch)

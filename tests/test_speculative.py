@@ -248,3 +248,79 @@ def test_pipeline_speculative_route(setup):
     np.testing.assert_array_equal(np.asarray(a.codes), np.asarray(s.codes))
     assert spec.last_spec_stats is not None
     assert int(spec.last_spec_stats.forwards) >= 1
+
+
+# --------------------------------------------------------------------------
+def test_spec_stream_greedy_token_identical(setup):
+    """Speculative STREAMING: chunk steps advance >= n_steps columns per call
+    and the finalized tokens are identical to the offline AR greedy loop."""
+    from parler_tts_tpu.runtime.speculative import (
+        make_stream_functions_speculative,
+    )
+
+    model, params = setup
+    gen = _gen_cfg(do_sample=False)
+    ar = make_generate(model, gen)
+    inp = _inputs(seed=9)
+    off = ar(params, *inp, jax.random.key(3))
+
+    prefill_fn, step_fn = make_stream_functions_speculative(model, gen, window=4)
+    state = prefill_fn(params, *inp, jax.random.key(3))
+    t_prev = int(state.t)
+    while int(state.t) < gen.max_length and not bool(jnp.all(state.eos.eos_seen)):
+        state = step_fn(params, state, 5)
+        assert int(state.t) >= min(t_prev + 5, gen.max_length) or bool(
+            jnp.all(state.eos.eos_seen)
+        )
+        t_prev = int(state.t)
+    t = int(state.t)
+    np.testing.assert_array_equal(
+        np.asarray(state.out_ids[:, :, :t]),
+        np.asarray(off.delayed_ids[:, :, :t]),
+    )
+    # fewer forwards than columns: speculation actually engaged
+    assert int(state.n_fwd) < t - 2
+
+
+def test_pipeline_spec_stream_matches_plain_stream(setup):
+    """Pipeline stream() with speculative_window, greedy.
+
+    Audio equality across DIFFERENT chunk boundaries is inherently
+    approximate (each flush decodes a play_steps-bucketed window through
+    non-causal convs — the suite compares equal-boundary chunkings only,
+    test_pipeline.py). So: (1) with play_steps >= max_length both paths
+    flush ONCE with identical boundaries -> bit-identical audio; (2) with
+    small play_steps the speculative stream must still produce the same
+    total sample count, finite audio."""
+    from parler_tts_tpu.codec.registry import build_codec, init_codec_params
+    from parler_tts_tpu.runtime.pipeline import ParlerTTSPipeline
+
+    model, params = setup
+    dac = build_codec(CFG.audio_encoder)
+    dac_params = init_codec_params(dac, CFG.audio_encoder, jax.random.key(0))
+    # codebook_guard keeps random-weight frames codec-valid so the stream
+    # actually yields audio; min_new_tokens guarantees several chunks
+    gen = _gen_cfg(do_sample=False, max_length=20, min_new_tokens=12,
+                   codebook_guard=PAD)
+    plain = ParlerTTSPipeline(model, params, dac, dac_params, gen)
+    spec = ParlerTTSPipeline(
+        model, params, dac, dac_params, gen, speculative_window=4
+    )
+    d, dm, p, pm = _inputs(seed=10)
+
+    # (1) single flush -> identical boundaries -> identical samples
+    a1 = np.concatenate(
+        [c for c in plain.stream(d, dm, p, pm, play_steps=24, seed=0)], axis=1
+    )
+    s1 = np.concatenate(
+        [c for c in spec.stream(d, dm, p, pm, play_steps=24, seed=0)], axis=1
+    )
+    np.testing.assert_array_equal(a1, s1)
+
+    # (2) chunked: same total samples, finite audio, >1 chunk
+    a_chunks = [c for c in plain.stream(d, dm, p, pm, play_steps=6, seed=0)]
+    s_chunks = [c for c in spec.stream(d, dm, p, pm, play_steps=6, seed=0)]
+    a2 = np.concatenate(a_chunks, axis=1)
+    s2 = np.concatenate(s_chunks, axis=1)
+    assert len(s_chunks) > 1 and a2.shape == s2.shape
+    assert np.isfinite(s2).all() and np.abs(s2).max() <= 1.0
