@@ -577,10 +577,19 @@ class ParlerTTSPipeline:
         )
         max_len = self.generation_config.max_length
         to_yield = 0
+        t_start = int(state.t)
         while True:
             state = step_fn(self.params, state, play_steps)
-            t = int(state.t)
-            done = t >= max_len or bool(jnp.all(state.eos.eos_seen))
+            t_raw = int(state.t)
+            done = t_raw >= max_len or bool(jnp.all(state.eos.eos_seen))
+            # speculative chunk steps overshoot by up to window-1 columns;
+            # clamp the VISIBLE column count to the play_steps grid so flush
+            # boundaries (and codec-decode bucket shapes) are identical to
+            # plain streaming — hidden columns surface on the next flush,
+            # and `done` reveals everything
+            t = t_raw if done else (
+                t_start + (t_raw - t_start) // play_steps * play_steps
+            )
             if t <= dcfg.num_codebooks:
                 if done:
                     return
@@ -668,10 +677,15 @@ class ParlerTTSPipeline:
         )
         max_len = self.generation_config.max_length
         to_yield = 0
+        t_start = int(state.t)
         while True:
             state = step_fn(self.params, state, play_steps)
-            t = int(state.t)
-            done = t >= max_len or bool(jnp.all(state.eos.eos_seen))
+            t_raw = int(state.t)
+            done = t_raw >= max_len or bool(jnp.all(state.eos.eos_seen))
+            # same visible-column clamping as `stream` (speculative overshoot)
+            t = t_raw if done else (
+                t_start + (t_raw - t_start) // play_steps * play_steps
+            )
             if t <= dcfg.num_codebooks:
                 if done:
                     return
