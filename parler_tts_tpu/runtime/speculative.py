@@ -67,7 +67,6 @@ from ..ops.sampling import (
     mask_eos_ordering,
     record_sampled,
     speculative_accept,
-    suppress_eos_before_min_length,  # noqa: F401 (API surface parity)
 )
 from .generate import GenerateOutput, _sample_column
 
