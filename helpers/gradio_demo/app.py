@@ -21,19 +21,28 @@ DEFAULT_PROMPT = "Hey, how are you doing today?"
 SEED = 42
 
 
-def load_pipeline(path: str):
+def load_pipeline(path: str, speculative_window=None):
     from parler_tts_tpu.runtime.pipeline import ParlerTTSPipeline
 
-    return ParlerTTSPipeline.from_pretrained(path)
+    return ParlerTTSPipeline.from_pretrained(
+        path, speculative_window=speculative_window
+    )
 
 
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--model", type=str, required=True, help="checkpoint dir")
     parser.add_argument("--share", action="store_true")
+    parser.add_argument(
+        "--speculative_window", type=int, default=16,
+        help="speculative decoding window (0 disables; INFERENCE.md)",
+    )
     args = parser.parse_args()
 
-    pipe = load_pipeline(args.model)
+    pipe = load_pipeline(
+        args.model,
+        speculative_window=args.speculative_window or None,
+    )
     sr = pipe.config.sampling_rate
 
     def gen(prompt: str, description: str):

@@ -320,3 +320,42 @@ def test_pipeline_spec_stream_matches_plain_stream(setup):
     assert len(s_chunks) == len(a_chunks) > 1
     for ac, sc in zip(a_chunks, s_chunks):
         np.testing.assert_array_equal(ac, sc)
+
+
+# --------------------------------------------------------------------------
+@pytest.mark.parametrize(
+    "variant",
+    ["prompt_cross_attention", "rope", "sliding_window"],
+)
+def test_greedy_identical_config_variants(variant):
+    """Greedy token-identity holds across the decoder's config surface:
+    prompt-through-cross-attention (empty decoder prefix, s_p=0), RoPE
+    positions, and the sliding-window cache option."""
+    import dataclasses
+
+    dec_kw, top_kw, gen_kw = {}, {}, {}
+    if variant == "rope":
+        dec_kw = dict(rope_embeddings=True)
+    elif variant == "sliding_window":
+        dec_kw = dict(sliding_window=6)
+        gen_kw = dict(cache_implementation="sliding_window")
+    else:
+        top_kw = dict(prompt_cross_attention=True)
+    cfg = dataclasses.replace(
+        CFG, decoder=dataclasses.replace(CFG.decoder, **dec_kw), **top_kw
+    )
+    model = ParlerTTS(cfg)
+    params = model.init(
+        jax.random.key(4),
+        jnp.zeros((1, 4), jnp.int32), jnp.ones((1, 4), jnp.int32),
+        jnp.zeros((1, 3), jnp.int32), jnp.ones((1, 3), jnp.int32),
+        jnp.zeros((1, 2, 3), jnp.int32),
+    )["params"]
+    gen = _gen_cfg(do_sample=False, **gen_kw)
+    ar = make_generate(model, gen)
+    sp = make_generate_speculative(model, gen, window=4)
+    inp = _inputs(seed=11)
+    a = ar(params, *inp, jax.random.key(1))
+    s, _ = sp(params, *inp, jax.random.key(1))
+    np.testing.assert_array_equal(np.asarray(a.codes), np.asarray(s.codes))
+    np.testing.assert_array_equal(np.asarray(a.lengths), np.asarray(s.lengths))
