@@ -1,0 +1,83 @@
+"""Training-step latency at recipe scale vs remat policy (single chip).
+
+Usage: python benchmarks/train_step.py [none|dots] [T] [B]
+
+The long-T recipe requires per-layer remat + chunked attention (see
+training/README.md: dense attention thrashes at 53.7 s/step, chunked runs
+127 ms/step at B=2/T=1024). Full remat recomputes every layer forward in the
+backward (~1/3 extra FLOPs); the "dots" policy
+(jax.checkpoint_policies.dots_with_no_batch_dims_saveable) saves matmul
+outputs and recomputes only elementwise work — more HBM, fewer FLOPs. This
+benchmark measures which side of the trade wins at a given (T, B).
+
+Run ONE policy per process on the shared chip; let it exit cleanly.
+"""
+
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from parler_tts_tpu.config import ParlerTTSConfig
+    from parler_tts_tpu.models.parler import ParlerTTS
+    from parler_tts_tpu.training import TrainState, make_optimizer, make_train_step
+    from parler_tts_tpu.training.train_state import Batch
+    from parler_tts_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    policy = sys.argv[1] if len(sys.argv) > 1 else "none"
+    t_len = int(sys.argv[2]) if len(sys.argv) > 2 else 1024
+    b = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+
+    cfg = ParlerTTSConfig()  # mini-v1 geometry + flan-t5-large encoder
+    model = ParlerTTS(
+        cfg, dtype=jnp.bfloat16, use_chunked_attention=True, remat_layers=True,
+        remat_policy=None if policy == "none" else policy,
+    )
+    k = jax.random.key(0)
+    params = jax.jit(model.init)(
+        k,
+        jnp.zeros((1, 4), jnp.int32), jnp.ones((1, 4), jnp.int32),
+        jnp.zeros((1, 3), jnp.int32), jnp.ones((1, 3), jnp.int32),
+        jnp.zeros((1, 2, cfg.decoder.num_codebooks), jnp.int32),
+    )["params"]
+    tx = make_optimizer(learning_rate=1e-4, warmup_steps=10)
+    state = TrainState.create(params, tx)
+    step_fn = make_train_step(model, tx)
+
+    rng = np.random.default_rng(0)
+    k_cb = cfg.decoder.num_codebooks
+    batch = Batch(
+        input_ids=jnp.asarray(rng.integers(1, 30000, (b, 48)), jnp.int32),
+        attention_mask=jnp.ones((b, 48), jnp.int32),
+        prompt_input_ids=jnp.asarray(rng.integers(1, 30000, (b, 24)), jnp.int32),
+        prompt_attention_mask=jnp.ones((b, 24), jnp.int32),
+        labels=jnp.asarray(
+            rng.integers(0, cfg.audio_encoder.codebook_size, (b, t_len, k_cb)),
+            jnp.int32,
+        ),
+    )
+    print(f"policy={policy} T={t_len} B={b}", flush=True)
+    t0 = time.perf_counter()
+    state, m = step_fn(state, batch, jax.random.key(1))
+    print(f"compile+step0: {time.perf_counter()-t0:.1f}s loss={float(m['loss']):.3f}",
+          flush=True)
+    times = []
+    for i in range(5):
+        t0 = time.perf_counter()
+        state, m = step_fn(state, batch, jax.random.key(2 + i))
+        float(m["loss"])  # sync
+        times.append(time.perf_counter() - t0)
+    print(f"step median: {np.median(times)*1000:.1f} ms "
+          f"(runs: {[f'{x*1000:.0f}' for x in times]})", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -393,6 +393,11 @@ class ParlerDecoder(nn.Module):
     weight_quant: Any = False  # False | True (pallas) | "xla"
     remat_layers: bool = False  # per-layer rematerialization for long-T training
     fused_qkv: bool = False
+    # remat policy for remat_layers: None = recompute everything (min memory);
+    # "dots" = jax.checkpoint_policies.dots_with_no_batch_dims_saveable —
+    # matmul outputs are SAVED, only cheap elementwise work is recomputed
+    # (trades HBM back for backward-pass FLOPs; see benchmarks/train_step.py)
+    remat_policy: Any = None
 
     def setup(self):
         cfg = self.config
@@ -409,8 +414,14 @@ class ParlerDecoder(nn.Module):
             # recomputed in the backward instead of stored — required to fit
             # the 30s/2580-frame recipe in HBM (the fc1 activations alone are
             # ~2GB otherwise and XLA spills catastrophically)
+            policy = None
+            if self.remat_policy == "dots":
+                policy = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+            elif callable(self.remat_policy):
+                policy = self.remat_policy
             layer_cls = nn.remat(
                 DecoderLayer, static_argnums=(9,), methods=["train_forward"],
+                policy=policy,
             )
         self.layers = [
             layer_cls(
@@ -542,13 +553,14 @@ class ParlerForCausalLM(nn.Module):
     weight_quant: Any = False  # False | True (pallas) | "xla"
     remat_layers: bool = False
     fused_qkv: bool = False
+    remat_policy: Any = None
 
     def setup(self):
         cfg = self.config
         self.decoder = ParlerDecoder(
             cfg, self.dtype, self.use_flash_decode,
             self.use_chunked_attention, self.weight_quant, self.remat_layers,
-            self.fused_qkv, name="decoder",
+            self.fused_qkv, self.remat_policy, name="decoder",
         )
         # (K, D, V) — applied as one fused einsum (TPU-native `use_fused_lm_heads`).
         # NB: heads stay bf16 even in weight_quant mode — their vocab axis

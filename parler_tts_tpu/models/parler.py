@@ -41,6 +41,7 @@ class ParlerTTS(nn.Module):
     weight_quant: Any = False            # int8 serving: False | True (pallas) | "xla"
     remat_layers: bool = False           # per-layer remat for long-T training
     fused_qkv: bool = False              # serving: one q|k|v matmul per layer
+    remat_policy: Any = None             # None | "dots" (see models/decoder.py)
 
     def setup(self):
         cfg = self.config
@@ -48,7 +49,7 @@ class ParlerTTS(nn.Module):
         self.decoder_lm = ParlerForCausalLM(
             cfg.decoder, self.dtype, self.use_flash_decode,
             self.use_chunked_attention, self.weight_quant, self.remat_layers,
-            self.fused_qkv, name="decoder",
+            self.fused_qkv, self.remat_policy, name="decoder",
         )
         # prompt embedding: (prompt_vocab, decoder_hidden) — modeling:2395
         self.embed_prompts = nn.Embed(

@@ -10,6 +10,7 @@ from .generate import (
 from .speculative import (
     SpecState,
     SpecStats,
+    generate_tokens_decoder_only_speculative,
     generate_tokens_speculative,
     make_generate_speculative,
     make_stream_functions_speculative,
@@ -23,6 +24,7 @@ __all__ = [
     "StreamState",
     "generate_tokens",
     "generate_tokens_decoder_only",
+    "generate_tokens_decoder_only_speculative",
     "generate_tokens_speculative",
     "make_generate",
     "make_generate_speculative",

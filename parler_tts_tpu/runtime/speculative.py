@@ -390,14 +390,36 @@ def _init_spec_state(
     if enc_mask is None:
         enc_mask = jnp.ones(enc_states.shape[:2], jnp.int32)
 
-    # ---- delay pattern, extended by 2W columns of forced PAD so the window
-    # machinery never indexes past the true pattern (columns >= L are never
-    # finalized; forcing PAD keeps their conditioning identical to the AR tail)
     start = jnp.full((b, k_cb, 1), gen.bos_token_id, jnp.int32)
     if decoder_prompt_codes is not None:
         start = jnp.concatenate(
             [start, decoder_prompt_codes.astype(jnp.int32)], axis=-1
         )
+    return _prefill_and_window(
+        model, gen, variables, b, s_p, prefix, prefix_mask,
+        enc_states, enc_mask, start, rng, cache_dtype, w,
+    )
+
+
+def _prefill_and_window(
+    model, gen: GenerationConfig, variables, b, s_p, prefix, prefix_mask,
+    enc_states, enc_mask, start, rng, cache_dtype, w,
+):
+    """Prefill + first sampled column + initial candidate window -> SpecState.
+    Shared by the composite and decoder-only entry points."""
+    cfg: ParlerTTSConfig = model.config
+    dcfg = cfg.decoder
+    k_cb, max_len = dcfg.num_codebooks, gen.max_length
+    eos_id, pad_id = gen.eos_token_id, gen.pad_token_id
+    greedy = not gen.do_sample
+    hoist = gen.top_k <= 0 and gen.top_p >= 1.0
+    win_cfg = (
+        dcfg.sliding_window if gen.cache_implementation == "sliding_window" else None
+    )
+
+    # ---- delay pattern, extended by 2W columns of forced PAD so the window
+    # machinery never indexes past the true pattern (columns >= L are never
+    # finalized; forcing PAD keeps their conditioning identical to the AR tail)
     first_ids, pattern = build_delay_pattern_mask(
         start, gen.bos_token_id, pad_id, max_len
     )
@@ -603,3 +625,72 @@ def make_stream_functions_speculative(
         )
 
     return prefill_fn, step_chunk_fn
+
+
+def generate_tokens_decoder_only_speculative(
+    model: ParlerTTS,
+    gen: GenerationConfig,
+    params,
+    rng: jax.Array,
+    batch_size: int,
+    encoder_hidden_states: Optional[jnp.ndarray] = None,
+    encoder_mask: Optional[jnp.ndarray] = None,
+    decoder_prompt_codes: Optional[jnp.ndarray] = None,
+    cache_dtype=jnp.bfloat16,
+    window: int = 8,
+):
+    """Decoder-only speculative generation (reference
+    `ParlerTTSForCausalLM.generate`, modeling:2071-2298, through the same
+    window-verify machinery as the composite path): no text encoder, no
+    prompt prefix — optional precomputed encoder states for cross-attention,
+    optional audio-prompt codes. Same exactness contract as
+    `generate_tokens_speculative`.
+    """
+    assert window >= 1
+    cfg = model.config
+    dcfg = cfg.decoder
+    k_cb, max_len = dcfg.num_codebooks, gen.max_length
+    if max_len + window > dcfg.max_position_embeddings:
+        raise ValueError(
+            f"max_length + window ({max_len + window}) exceeds "
+            f"max_position_embeddings={dcfg.max_position_embeddings}"
+        )
+    b = batch_size
+    variables = {"params": params}
+
+    if encoder_hidden_states is None:
+        # zero-state cross attention (the decoder still has cross-attn params)
+        encoder_hidden_states = jnp.zeros((b, 1, dcfg.hidden_size), jnp.float32)
+        encoder_mask = jnp.zeros((b, 1), jnp.int32)
+    if encoder_mask is None:
+        encoder_mask = jnp.ones(encoder_hidden_states.shape[:2], jnp.int32)
+
+    start = jnp.full((b, k_cb, 1), gen.bos_token_id, jnp.int32)
+    if decoder_prompt_codes is not None:
+        start = jnp.concatenate(
+            [start, decoder_prompt_codes.astype(jnp.int32)], axis=-1
+        )
+    prefix = jnp.zeros((b, 0, dcfg.hidden_size), jnp.float32)
+    prefix_mask = jnp.zeros((b, 0), jnp.int32)
+    state, pattern = _prefill_and_window(
+        model, gen, variables, b, 0, prefix, prefix_mask,
+        encoder_hidden_states, encoder_mask, start, rng, cache_dtype, window,
+    )
+    t0 = state.t
+    spec_step = _make_spec_step(model, gen, window)
+
+    def cond(s: SpecState):
+        return (s.t < max_len) & ~jnp.all(s.eos.eos_seen)
+
+    final = jax.lax.while_loop(cond, lambda s: spec_step(variables, s), state)
+
+    cols = jnp.arange(max_len)[None, None, :]
+    default_tail = jnp.where(pattern == -1, gen.pad_token_id, pattern)
+    out = jnp.where(
+        cols >= final.t, default_tail, final.out_ids[:, :, :max_len]
+    )
+    delayed = apply_delay_pattern_mask(out, pattern)
+    codes = undelay_pattern(delayed, k_cb)
+    lengths = valid_frame_lengths(codes, dcfg.pad_token_id)
+    stats = SpecStats(forwards=final.n_fwd, columns=final.t - t0)
+    return GenerateOutput(delayed, codes, lengths, final.t), stats

@@ -359,3 +359,38 @@ def test_greedy_identical_config_variants(variant):
     s, _ = sp(params, *inp, jax.random.key(1))
     np.testing.assert_array_equal(np.asarray(a.codes), np.asarray(s.codes))
     np.testing.assert_array_equal(np.asarray(a.lengths), np.asarray(s.lengths))
+
+
+def test_decoder_only_speculative_greedy_identical(setup):
+    """Decoder-only speculative generate (ParlerTTSForCausalLM parity surface)
+    is token-identical to the plain decoder-only loop, with and without
+    precomputed encoder states / audio-prompt codes."""
+    import functools
+
+    from parler_tts_tpu.runtime.generate import generate_tokens_decoder_only
+    from parler_tts_tpu.runtime.speculative import (
+        generate_tokens_decoder_only_speculative,
+    )
+
+    model, params = setup
+    gen = _gen_cfg(do_sample=False, min_new_tokens=3)
+    rng = np.random.default_rng(2)
+    enc = jnp.asarray(rng.normal(size=(1, 5, CFG.decoder.hidden_size)), jnp.float32)
+    enc_mask = jnp.ones((1, 5), jnp.int32)
+    codes0 = jnp.asarray(rng.integers(0, PAD, size=(1, 3, 2)), jnp.int32)
+
+    ar = jax.jit(functools.partial(
+        generate_tokens_decoder_only, model, gen, batch_size=1))
+    sp = jax.jit(functools.partial(
+        generate_tokens_decoder_only_speculative, model, gen, batch_size=1,
+        window=4))
+    for kwargs in (
+        {},
+        {"encoder_hidden_states": enc, "encoder_mask": enc_mask},
+        {"decoder_prompt_codes": codes0},
+    ):
+        a = ar(params, jax.random.key(5), **kwargs)
+        s, stats = sp(params, jax.random.key(5), **kwargs)
+        np.testing.assert_array_equal(np.asarray(a.codes), np.asarray(s.codes))
+        np.testing.assert_array_equal(np.asarray(a.lengths), np.asarray(s.lengths))
+        assert int(stats.forwards) >= 1
