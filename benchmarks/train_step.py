@@ -1,6 +1,6 @@
 """Training-step latency at recipe scale vs remat policy (single chip).
 
-Usage: python benchmarks/train_step.py [none|dots] [T] [B]
+Usage: python benchmarks/train_step.py [none|dots] [T] [B] [mu_dtype]
 
 The long-T recipe requires per-layer remat + chunked attention (see
 training/README.md: dense attention thrashes at 53.7 s/step, chunked runs
@@ -35,6 +35,7 @@ def main():
     policy = sys.argv[1] if len(sys.argv) > 1 else "none"
     t_len = int(sys.argv[2]) if len(sys.argv) > 2 else 1024
     b = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+    mu_dtype = sys.argv[4] if len(sys.argv) > 4 else None
 
     cfg = ParlerTTSConfig()  # mini-v1 geometry + flan-t5-large encoder
     model = ParlerTTS(
@@ -48,7 +49,7 @@ def main():
         jnp.zeros((1, 3), jnp.int32), jnp.ones((1, 3), jnp.int32),
         jnp.zeros((1, 2, cfg.decoder.num_codebooks), jnp.int32),
     )["params"]
-    tx = make_optimizer(learning_rate=1e-4, warmup_steps=10)
+    tx = make_optimizer(learning_rate=1e-4, warmup_steps=10, mu_dtype=mu_dtype)
     state = TrainState.create(params, tx)
     step_fn = make_train_step(model, tx)
 
@@ -64,7 +65,7 @@ def main():
             jnp.int32,
         ),
     )
-    print(f"policy={policy} T={t_len} B={b}", flush=True)
+    print(f"policy={policy} T={t_len} B={b} mu={mu_dtype}", flush=True)
     t0 = time.perf_counter()
     state, m = step_fn(state, batch, jax.random.key(1))
     print(f"compile+step0: {time.perf_counter()-t0:.1f}s loss={float(m['loss']):.3f}",

@@ -114,6 +114,11 @@ class TrainingArguments:
     # store Adam's first moment in bf16 (halves optimizer HBM; JAX-native
     # analogue of the memory the reference recovers by keeping bf16 weights)
     adam_mu_dtype: Optional[str] = None
+    # per-layer remat policy once long-T auto-enables remat: "full" recomputes
+    # every layer forward in the backward (min HBM); "dots" saves matmul
+    # outputs and recomputes only elementwise work (measured ~4% faster at
+    # mini-v1 scale when it fits — benchmarks/train_step.py)
+    remat_policy: str = "full"
     # batch rows by similar label length (reference wires transformers'
     # LengthGroupedSampler when group_by_length=True, :994-1002); on TPU this
     # also minimizes padding waste under the bucketing collator

@@ -179,9 +179,18 @@ def run_training(
     # the real recipe scale measured 53.7 s/step vs 127 ms/step chunked on v5e
     # (HBM thrashing) — a 420x difference, not a tuning detail.
     max_t = max(np.asarray(f["labels"]).shape[0] for f in train_features)
+    if training_args.remat_policy not in ("full", "dots"):
+        raise ValueError(
+            f"unknown remat_policy {training_args.remat_policy!r} "
+            "(expected 'full' or 'dots')"
+        )
+    remat_policy = None if training_args.remat_policy == "full" else "dots"
     if max_t >= 512 and not (model.use_chunked_attention and model.remat_layers):
         logger.info("enabling chunked attention + per-layer remat for T=%d", max_t)
-        model = model.clone(use_chunked_attention=True, remat_layers=True)
+        model = model.clone(
+            use_chunked_attention=True, remat_layers=True,
+            remat_policy=remat_policy,
+        )
     # mixed precision (reference recipe trains in bf16,
     # run_parler_tts_training.py:90-95,116 + starting_point_v1.json "dtype"):
     # params/optimizer stay fp32, the forward/backward computes in `dtype`

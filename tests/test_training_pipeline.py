@@ -357,3 +357,48 @@ def test_fsdp_flag_shards_state(tmp_path):
     fc1 = state.params["decoder"]["decoder"]["layers_0"]["fc1"]["kernel"]
     shard_shapes = {s.data.shape for s in fc1.addressable_shards}
     assert all(int(np.prod(s)) < fc1.size for s in shard_shapes), shard_shapes
+
+
+def test_remat_policy_flag_is_load_bearing(tmp_path):
+    """`TrainingArguments.remat_policy` must be consumed: a bogus value fails
+    fast, and 'dots' trains a long-T step (the auto-enabled remat path) end to
+    end."""
+    cfg = tiny_config()
+    cfg = dataclasses.replace(
+        cfg, decoder=dataclasses.replace(cfg.decoder, max_position_embeddings=600)
+    )
+    model = ParlerTTS(cfg)
+    rng = np.random.default_rng(0)
+    feats = [
+        {
+            # T=513 crosses the >=512 threshold that auto-enables remat
+            "labels": rng.integers(0, PAD, size=(513, 4)),
+            "input_ids": list(rng.integers(0, 120, size=7)),
+            "prompt_input_ids": list(rng.integers(0, 256, size=4)),
+        }
+        for _ in range(8)
+    ]
+    params = model.init(
+        jax.random.key(0),
+        np.zeros((1, 4), np.int32), np.ones((1, 4), np.int32),
+        np.zeros((1, 3), np.int32), np.ones((1, 3), np.int32),
+        np.zeros((1, 2, 4), np.int32),
+    )["params"]
+    margs = ModelArguments(freeze_text_encoder=True, max_length=560)
+
+    def targs(policy, out):
+        return TrainingArguments(
+            output_dir=str(tmp_path / out), per_device_train_batch_size=1,
+            gradient_accumulation_steps=1, learning_rate=1e-3, warmup_steps=1,
+            max_steps=1, logging_steps=1, save_steps=100, eval_steps=100,
+            report_to="none", mesh_model=1, dtype="float32",
+            remat_policy=policy,
+        )
+
+    with pytest.raises(ValueError, match="remat_policy"):
+        run_training(margs, DataTrainingArguments(), targs("chekhov", "bad"),
+                     model, params, feats)
+
+    state, step = run_training(margs, DataTrainingArguments(),
+                               targs("dots", "dots"), model, params, feats)
+    assert step == 1

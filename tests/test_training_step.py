@@ -183,3 +183,36 @@ def test_fsdp_sharded_train_step_matches_single_device():
         np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=2e-4)
     for a, b in zip(jax.tree.leaves(state1.params), jax.tree.leaves(state2.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)
+
+
+@pytest.mark.parametrize("policy", [None, "dots"])
+def test_remat_policy_preserves_training_math(policy):
+    """Per-layer remat (any policy) only trades memory for recompute — the
+    loss and updated params must match the un-rematted step exactly (fp32,
+    dropout handled by identical rng threading through the recompute)."""
+    import dataclasses
+
+    cfg = tiny_config()
+    cfg = dataclasses.replace(
+        cfg, decoder=dataclasses.replace(cfg.decoder, dropout=0.0)
+    )
+    tx = make_optimizer(learning_rate=1e-3, warmup_steps=2)
+
+    base = ParlerTTS(cfg, use_chunked_attention=True)
+    remat = ParlerTTS(
+        cfg, use_chunked_attention=True, remat_layers=True, remat_policy=policy
+    )
+    state1 = init_state(base, tx, seed=3)
+    state2 = init_state(remat, tx, seed=3)
+    step1 = make_train_step(base, tx)
+    step2 = make_train_step(remat, tx)
+
+    batch = make_batch(b=4, seed=4)
+    r = jax.random.key(5)
+    state1, m1 = step1(state1, batch, r)
+    state2, m2 = step2(state2, batch, r)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-6)
+    for a, b in zip(
+        jax.tree.leaves(state1.params), jax.tree.leaves(state2.params)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
