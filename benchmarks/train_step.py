@@ -1,6 +1,6 @@
 """Training-step latency at recipe scale vs remat policy (single chip).
 
-Usage: python benchmarks/train_step.py [none|dots] [T] [B] [mu_dtype]
+Usage: python benchmarks/train_step.py [none|dots] [T] [B] [mu_dtype] [loss_chunk]
 
 The long-T recipe requires per-layer remat + chunked attention (see
 training/README.md: dense attention thrashes at 53.7 s/step, chunked runs
@@ -36,6 +36,9 @@ def main():
     t_len = int(sys.argv[2]) if len(sys.argv) > 2 else 1024
     b = int(sys.argv[3]) if len(sys.argv) > 3 else 2
     mu_dtype = sys.argv[4] if len(sys.argv) > 4 else None
+    if mu_dtype in ("none", "None", ""):
+        mu_dtype = None
+    loss_chunk = int(sys.argv[5]) if len(sys.argv) > 5 else None
 
     cfg = ParlerTTSConfig()  # mini-v1 geometry + flan-t5-large encoder
     model = ParlerTTS(
@@ -51,7 +54,7 @@ def main():
     )["params"]
     tx = make_optimizer(learning_rate=1e-4, warmup_steps=10, mu_dtype=mu_dtype)
     state = TrainState.create(params, tx)
-    step_fn = make_train_step(model, tx)
+    step_fn = make_train_step(model, tx, loss_chunk_size=loss_chunk)
 
     rng = np.random.default_rng(0)
     k_cb = cfg.decoder.num_codebooks
@@ -65,7 +68,8 @@ def main():
             jnp.int32,
         ),
     )
-    print(f"policy={policy} T={t_len} B={b} mu={mu_dtype}", flush=True)
+    print(f"policy={policy} T={t_len} B={b} mu={mu_dtype} loss_chunk={loss_chunk}",
+          flush=True)
     t0 = time.perf_counter()
     state, m = step_fn(state, batch, jax.random.key(1))
     print(f"compile+step0: {time.perf_counter()-t0:.1f}s loss={float(m['loss']):.3f}",

@@ -591,6 +591,7 @@ class ParlerForCausalLM(nn.Module):
         decode_lengths: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
         mask_1d: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
+        apply_heads: bool = True,
     ):
         hidden, new_cache = self.decoder(
             inputs_embeds,
@@ -603,6 +604,10 @@ class ParlerForCausalLM(nn.Module):
             mask_1d=mask_1d,
             deterministic=deterministic,
         )
+        if not apply_heads:
+            # pre-head (B, T, D) states for the chunked fused-head CE loss
+            # (ops/losses.py:chunked_per_codebook_cross_entropy)
+            return hidden, new_cache
         return self.logits(hidden), new_cache
 
     def embed_ids(self, input_ids: jnp.ndarray) -> jnp.ndarray:

@@ -123,8 +123,12 @@ class ParlerTTS(nn.Module):
         prompt_attention_mask: Optional[jnp.ndarray],
         labels: jnp.ndarray,                    # (B, T, K)
         deterministic: bool = True,
+        return_hidden: bool = False,
     ):
         """Teacher-forced forward: returns (logits (B, K, T, V), decoder_input_ids (B, K, T)).
+        With `return_hidden=True` the LM heads are NOT applied and the first
+        element is the pre-head hidden states (B, T, D) — the train step then
+        fuses heads+CE chunk-by-chunk (`chunked_per_codebook_cross_entropy`).
 
         Mirrors the reference training forward (modeling:2695-2864): T5 encode,
         prompt embed, shift labels right, decode with prompt prefix.
@@ -178,7 +182,7 @@ class ParlerTTS(nn.Module):
         self_bias = None if self.use_chunked_attention else dense_self_attention_bias(dec_mask)
         cross_bias = padding_cross_attention_bias(enc_mask, full_t)
 
-        logits, _ = self.decoder_lm(
+        out, _ = self.decoder_lm(
             full_embeds,
             position_ids,
             self_attn_bias=self_bias,
@@ -186,10 +190,12 @@ class ParlerTTS(nn.Module):
             cross_attn_bias=cross_bias,
             mask_1d=dec_mask if self.use_chunked_attention else None,
             deterministic=deterministic,
+            apply_heads=not return_hidden,
         )
         # keep only label positions (drop the prompt prefix) — modeling:1896-1899
-        logits = logits[:, :, s_p:, :]
-        return logits, decoder_input_ids
+        if return_hidden:
+            return out[:, s_p:, :], decoder_input_ids
+        return out[:, :, s_p:, :], decoder_input_ids
 
 
 def convert_composite_params(

@@ -7,6 +7,7 @@ from .delay_pattern import (
     valid_frame_lengths,
 )
 from .losses import (
+    chunked_per_codebook_cross_entropy,
     mean_loss_reference_style,
     per_codebook_cross_entropy,
     shift_tokens_right,
@@ -41,6 +42,7 @@ __all__ = [
     "unflatten_codebooks",
     "valid_frame_lengths",
     "mean_loss_reference_style",
+    "chunked_per_codebook_cross_entropy",
     "per_codebook_cross_entropy",
     "shift_tokens_right",
     "causal_self_attention_bias",

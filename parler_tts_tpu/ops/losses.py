@@ -69,6 +69,75 @@ def per_codebook_cross_entropy(
     return weighted_sum, num_items, per_cb_mean, per_cb_count
 
 
+def chunked_per_codebook_cross_entropy(
+    hidden: jnp.ndarray,
+    lm_heads: jnp.ndarray,
+    labels: jnp.ndarray,
+    decoder_input_ids: jnp.ndarray,
+    *,
+    bos_token_id: int,
+    eos_token_id: int,
+    codebook_weights: Optional[Tuple[float, ...]] = None,
+    chunk_size: int = 256,
+    head_dtype=None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """`per_codebook_cross_entropy` fused with the LM heads, chunked over T.
+
+    The unchunked path materializes (B, K, T, V) logits plus an fp32
+    log-softmax of the same shape — at the 30 s recipe scale that tensor
+    (and its backward) is what OOMs a 16 GB chip (measured: B=4/T=2580
+    misses fit by 214 MB at the loss log_softmax). Here the head matmul +
+    log-softmax + gather run per T-chunk under `jax.checkpoint` inside
+    `lax.map`, so peak memory is one (B, K, chunk, V) block and the backward
+    recomputes it chunk-by-chunk. Same contract/returns as
+    `per_codebook_cross_entropy`; `hidden` is (B, T, D) pre-head states and
+    `lm_heads` the (K, D, V) stacked heads (cast to `head_dtype` to match
+    `ParlerForCausalLM.logits`, models/decoder.py:575-580).
+    """
+    b, t, d = hidden.shape
+    k, _, v = lm_heads.shape
+    labels_kt = jnp.swapaxes(labels, 1, 2)  # (B, K, T)
+    ignore = (labels_kt == -100) | (labels_kt == bos_token_id)
+    mask = (decoder_input_ids != eos_token_id) & ~ignore
+    safe_labels = jnp.clip(labels_kt, 0, v - 1)
+
+    heads = lm_heads.astype(head_dtype) if head_dtype is not None else lm_heads
+    n_pad = (-t) % chunk_size
+    n_chunks = (t + n_pad) // chunk_size
+    hidden_c = jnp.pad(hidden, ((0, 0), (0, n_pad), (0, 0))).reshape(
+        b, n_chunks, chunk_size, d).transpose(1, 0, 2, 3)   # (nc, B, Tc, D)
+    mask_c = jnp.pad(mask, ((0, 0), (0, 0), (0, n_pad))).reshape(
+        b, k, n_chunks, chunk_size).transpose(2, 0, 1, 3)   # (nc, B, K, Tc)
+    labels_c = jnp.pad(safe_labels, ((0, 0), (0, 0), (0, n_pad))).reshape(
+        b, k, n_chunks, chunk_size).transpose(2, 0, 1, 3)
+
+    @jax.checkpoint
+    def chunk_sums(h, lbl, m):
+        logits = jnp.einsum(
+            "btd,kdv->bktv", h, heads, preferred_element_type=jnp.float32
+        )
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        nll = -jnp.take_along_axis(logp, lbl[..., None], axis=-1)[..., 0]
+        nll = jnp.where(m, nll, 0.0)
+        return nll.sum(axis=(0, 2)), m.sum(axis=(0, 2)).astype(jnp.float32)
+
+    sums, counts = jax.lax.map(
+        lambda args: chunk_sums(*args), (hidden_c, labels_c, mask_c)
+    )  # (nc, K) each
+    per_cb_sum = sums.sum(axis=0)
+    per_cb_count = counts.sum(axis=0)
+    per_cb_mean = per_cb_sum / jnp.maximum(per_cb_count, 1.0)
+
+    if codebook_weights is not None:
+        w = jnp.asarray(codebook_weights, dtype=jnp.float32)
+        weighted_sum = (per_cb_sum * w).sum() / w.sum() * k
+    else:
+        weighted_sum = per_cb_sum.sum()
+
+    num_items = per_cb_count.sum()
+    return weighted_sum, num_items, per_cb_mean, per_cb_count
+
+
 def mean_loss_reference_style(
     logits: jnp.ndarray,
     labels: jnp.ndarray,

@@ -119,6 +119,10 @@ class TrainingArguments:
     # outputs and recomputes only elementwise work (measured ~4% faster at
     # mini-v1 scale when it fits — benchmarks/train_step.py)
     remat_policy: str = "full"
+    # fuse LM heads + cross-entropy chunk-by-chunk over T (never materialize
+    # the (B, K, T, V) logits — the largest single allocation of the long-T
+    # step). None = off; 256 is a good chunk on v5e.
+    loss_chunk_size: Optional[int] = None
     # batch rows by similar label length (reference wires transformers'
     # LengthGroupedSampler when group_by_length=True, :994-1002); on TPU this
     # also minimizes padding waste under the bucketing collator

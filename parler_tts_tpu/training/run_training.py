@@ -253,7 +253,9 @@ def run_training(
 
     if mesh is not None:
         state = shard_train_state(state, mesh, fsdp=training_args.fsdp)
-    step_fn = make_train_step(model, tx, mesh=mesh)
+    step_fn = make_train_step(
+        model, tx, mesh=mesh, loss_chunk_size=training_args.loss_chunk_size
+    )
 
     collator = DataCollatorParlerTTSWithPadding(
         prompt_padding_side=model_args.prompt_padding_side,

@@ -14,7 +14,7 @@ is an optax.multi_transform routing frozen subtrees to `set_to_zero`.
 
 from __future__ import annotations
 
-from typing import Any, Callable, NamedTuple, Tuple
+from typing import Any, Callable, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -24,7 +24,10 @@ from jax.sharding import PartitionSpec as P  # noqa: F401 (P used in annotations
 
 from ..config import ParlerTTSConfig
 from ..models.parler import ParlerTTS
-from ..ops.losses import per_codebook_cross_entropy
+from ..ops.losses import (
+    chunked_per_codebook_cross_entropy,
+    per_codebook_cross_entropy,
+)
 from ..parallel.mesh import batch_sharding, params_shardings, replicated
 
 
@@ -108,13 +111,19 @@ def make_train_step(
     model: ParlerTTS,
     tx: optax.GradientTransformation,
     mesh=None,
+    loss_chunk_size: Optional[int] = None,
 ) -> Callable[[TrainState, Batch, jax.Array], Tuple[TrainState, dict]]:
-    """Build the jitted (optionally mesh-sharded) train step."""
+    """Build the jitted (optionally mesh-sharded) train step.
+
+    `loss_chunk_size`: fuse LM heads + CE chunk-by-chunk over T instead of
+    materializing (B, K, T, V) logits — the loss tensor is the single largest
+    allocation of the long-T step (see training/README.md fit table).
+    """
     cfg: ParlerTTSConfig = model.config
     dcfg = cfg.decoder
 
     def loss_fn(params, batch: Batch, dropout_rng):
-        logits, dec_input_ids = model.apply(
+        out, dec_input_ids = model.apply(
             {"params": params},
             batch.input_ids,
             batch.attention_mask,
@@ -122,16 +131,32 @@ def make_train_step(
             batch.prompt_attention_mask,
             batch.labels,
             deterministic=False,
+            return_hidden=loss_chunk_size is not None,
             rngs={"dropout": dropout_rng},
         )
-        sum_loss, num_items, per_cb_mean, _ = per_codebook_cross_entropy(
-            logits,
-            batch.labels,
-            dec_input_ids,
-            bos_token_id=dcfg.bos_token_id,
-            eos_token_id=dcfg.eos_token_id,
-            codebook_weights=dcfg.codebook_weights,
-        )
+        if loss_chunk_size is not None:
+            sum_loss, num_items, per_cb_mean, _ = (
+                chunked_per_codebook_cross_entropy(
+                    out,
+                    params["decoder"]["lm_heads"],
+                    batch.labels,
+                    dec_input_ids,
+                    bos_token_id=dcfg.bos_token_id,
+                    eos_token_id=dcfg.eos_token_id,
+                    codebook_weights=dcfg.codebook_weights,
+                    chunk_size=loss_chunk_size,
+                    head_dtype=model.dtype,
+                )
+            )
+        else:
+            sum_loss, num_items, per_cb_mean, _ = per_codebook_cross_entropy(
+                out,
+                batch.labels,
+                dec_input_ids,
+                bos_token_id=dcfg.bos_token_id,
+                eos_token_id=dcfg.eos_token_id,
+                codebook_weights=dcfg.codebook_weights,
+            )
         # Reference sum-reduction divides by num_codebooks (modeling:1955-1957)
         # then normalizes by the GLOBAL valid-token count (training:916-918).
         # Under pjit the batch is sharded over 'data'; XLA turns these

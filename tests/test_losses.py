@@ -126,3 +126,56 @@ def test_shift_tokens_right():
     labels2 = jnp.array([[[-100, 2], [3, 4], [5, 6]]])
     out2 = shift_tokens_right(labels2, PAD, BOS)
     np.testing.assert_array_equal(np.asarray(out2)[0, 0], [BOS, PAD, 3])
+
+
+def test_chunked_fused_head_ce_matches_unchunked():
+    """chunked_per_codebook_cross_entropy(hidden, heads, ...) == the unchunked
+    loss on einsum'd logits — values AND grads (wrt hidden and heads), for
+    chunk sizes that do and don't divide T."""
+    import jax
+
+    from parler_tts_tpu.ops import chunked_per_codebook_cross_entropy
+
+    rng = np.random.default_rng(3)
+    b, k, t, v, d = 2, 4, 10, 32, 16
+    hidden = rng.normal(size=(b, t, d)).astype(np.float32)
+    heads = rng.normal(size=(k, d, v)).astype(np.float32) * 0.3
+    labels = rng.integers(0, v - 2, size=(b, t, k)).astype(np.int32)
+    labels[0, 2, 1] = -100
+    inputs = rng.integers(0, v - 2, size=(b, k, t)).astype(np.int32)
+    inputs[0, 0, 5] = EOS % v
+
+    def ref(hd, hs):
+        logits = jnp.einsum(
+            "btd,kdv->bktv", hd, hs, preferred_element_type=jnp.float32
+        )
+        s, n, m, c = per_codebook_cross_entropy(
+            logits, labels, inputs,
+            bos_token_id=BOS, eos_token_id=EOS % v,
+            codebook_weights=(1.0, 0.5, 0.25, 0.25),
+        )
+        return s, (n, m, c)
+
+    s0, (n0, m0, c0) = ref(hidden, heads)
+    g0 = jax.grad(lambda *a: ref(*a)[0], argnums=(0, 1))(hidden, heads)
+
+    for chunk in (5, 4, 16):  # divides / ragged / > T
+        def ch(hd, hs):
+            s, n, m, c = chunked_per_codebook_cross_entropy(
+                hd, hs, labels, inputs,
+                bos_token_id=BOS, eos_token_id=EOS % v,
+                codebook_weights=(1.0, 0.5, 0.25, 0.25),
+                chunk_size=chunk,
+            )
+            return s, (n, m, c)
+
+        s1, (n1, m1, c1) = ch(hidden, heads)
+        np.testing.assert_allclose(float(s1), float(s0), rtol=1e-6)
+        assert int(n1) == int(n0)
+        np.testing.assert_allclose(np.asarray(m1), np.asarray(m0), rtol=1e-6)
+        np.testing.assert_array_equal(np.asarray(c1), np.asarray(c0))
+        g1 = jax.grad(lambda *a: ch(*a)[0], argnums=(0, 1))(hidden, heads)
+        for a, bgrad in zip(g0, g1):
+            np.testing.assert_allclose(
+                np.asarray(bgrad), np.asarray(a), rtol=2e-5, atol=1e-6
+            )

@@ -216,3 +216,33 @@ def test_remat_policy_preserves_training_math(policy):
         jax.tree.leaves(state1.params), jax.tree.leaves(state2.params)
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_chunked_loss_train_step_matches_unchunked():
+    """make_train_step(loss_chunk_size=N) reproduces the unchunked step: same
+    loss, metrics, and updated params (the chunked fused-head CE is a memory
+    layout change, not a math change)."""
+    import dataclasses
+
+    cfg = tiny_config()
+    cfg = dataclasses.replace(
+        cfg, decoder=dataclasses.replace(cfg.decoder, dropout=0.0)
+    )
+    model = ParlerTTS(cfg)
+    tx = make_optimizer(learning_rate=1e-3, warmup_steps=2)
+    batch = make_batch(b=4, t=12, seed=11)
+    r = jax.random.key(6)
+
+    state1 = init_state(model, tx, seed=2)
+    state2 = init_state(model, tx, seed=2)
+    s1, m1 = make_train_step(model, tx)(state1, batch, r)
+    s2, m2 = make_train_step(model, tx, loss_chunk_size=5)(state2, batch, r)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(m1["per_codebook_loss"]), np.asarray(m2["per_codebook_loss"]),
+        rtol=1e-6,
+    )
+    assert int(m1["num_items"]) == int(m2["num_items"])
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6)
