@@ -84,7 +84,7 @@ def build_pipeline(max_length: int, seconds_target: float):
     # accepted-columns rate is checkpoint-dependent; this bench runs random
     # weights (no network), and reports cols_per_fwd so the speedup's origin
     # is auditable. BENCH_MODE: spec (default) | plain | fused | xq.
-    spec_w = int(os.environ.get("BENCH_SPEC_WINDOW", "16")) if mode == "spec" else None
+    spec_w = int(os.environ.get("BENCH_SPEC_WINDOW", "24")) if mode == "spec" else None
     return ParlerTTSPipeline(model, params, dac, dac_params, gen,
                              fused_decode=(mode == "fused"),
                              speculative_window=spec_w)
@@ -216,7 +216,7 @@ def main():
         "audio_s": round(audio_seconds, 2),
         "gen_steps": int(np.median(gen_steps)),
         "rtfx_batch8": round(rtfx_b8, 1),
-        "spec_window": int(os.environ.get("BENCH_SPEC_WINDOW", "16"))
+        "spec_window": int(os.environ.get("BENCH_SPEC_WINDOW", "24"))
         if os.environ.get("BENCH_MODE", "spec") == "spec" else 0,
         "cols_per_fwd": cols_per_fwd,
         "platform": jax.devices()[0].platform,
