@@ -74,6 +74,12 @@ def main():
         cfg = base.config
         gen = base.generation_config
     else:
+        import os
+
+        # the A/B baseline must be the PLAIN AR loop — bench.py's BENCH_MODE
+        # default is "spec", which would silently make t_plain a speculative
+        # measurement and every "speedup vs plain" line ~1.0x
+        os.environ["BENCH_MODE"] = "plain"
         from bench import build_pipeline
 
         base = build_pipeline(max_length, 10.0)

@@ -33,8 +33,12 @@ jax.config.update("jax_platforms", "cpu")
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def analytic_weight_bytes(cfg_name, cfg, n_model, bytes_per_el=2):
-    """Per-chip decoder+heads weight bytes under the TP rules at TP=n_model."""
+def analytic_weight_bytes(cfg, n_model, bytes_per_el=2):
+    """Per-chip weight bytes STREAMED PER DECODE STEP under the TP rules at
+    TP=n_model: the decoder stack + LM heads only (params["decoder"]). The
+    frozen T5 encoder, prompt embeddings, and enc_to_dec projection run once
+    at prefill and are excluded — including them would overstate bytes/chip
+    and understate the TP scaling ratio."""
     import jax.numpy as jnp
 
     from parler_tts_tpu.models.parler import ParlerTTS
@@ -55,7 +59,8 @@ def analytic_weight_bytes(cfg_name, cfg, n_model, bytes_per_el=2):
     shardings = params_shardings(abstract, mesh)
 
     total = 0
-    for leaf, sh in zip(jax.tree.leaves(abstract), jax.tree.leaves(shardings)):
+    for leaf, sh in zip(jax.tree.leaves(abstract["decoder"]),
+                        jax.tree.leaves(shardings["decoder"])):
         spec = sh.spec
         denom = 1
         for i, axis in enumerate(spec):
@@ -70,12 +75,12 @@ def main():
         ParlerTTSConfig, large_v1_decoder_config, mini_v1_decoder_config,
     )
 
-    print("per-chip weight bytes (bf16) under the TP partition rules:")
+    print("per-chip decoder+heads weight bytes/step (bf16) under TP:")
     print(f"{'config':>10} {'TP=1':>12} {'TP=2':>12} {'TP=4':>12}")
     for name, dcfg in [("mini-v1", mini_v1_decoder_config()),
                        ("large-v1", large_v1_decoder_config())]:
         cfg = ParlerTTSConfig(decoder=dcfg)
-        row = [analytic_weight_bytes(name, cfg, n) for n in (1, 2, 4)]
+        row = [analytic_weight_bytes(cfg, n) for n in (1, 2, 4)]
         print(f"{name:>10} " + " ".join(f"{b/2**20:>10.1f}Mi" for b in row)
               + f"   (TP-4 = {row[0]/row[2]:.2f}x fewer bytes/chip)")
 

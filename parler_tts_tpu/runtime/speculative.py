@@ -299,6 +299,18 @@ def _make_spec_step(model: ParlerTTS, gen: GenerationConfig, window: int):
                 jnp.arange(w)[:, None, None, None], axis=-1,
             )[..., 0]                                          # (W, B, K)
             new_q = jnp.take(q_vecs, src, axis=0)              # (W, B, K, V)
+            # (B, K) entries that have finished (EOS recorded through the
+            # accepted prefix) deterministically emit PAD at EVERY future
+            # column, so propose PAD with q = delta_PAD: still exact (q is
+            # the true proposal distribution) and the candidate now MATCHES
+            # the forced-PAD final at the next verify. Proposals drawn from
+            # the pre-pad-forcing softmax would otherwise reject almost
+            # every window column for a finished entry, dragging the whole
+            # batch back to ~1 column/forward for the EOS-cascade tail (and,
+            # at B > 1, for the entire remainder after the shortest stream).
+            es_next = advance_eos_state(eos_new, k_cb).eos_seen  # (B, K)
+            new_cand = jnp.where(es_next[None], pad_id, new_cand)
+            new_q = jnp.where(es_next[None, :, :, None], pad_oh[None], new_q)
         pat_next = jnp.moveaxis(
             jax.lax.dynamic_slice(
                 state.pattern_ext, (0, 0, state.t + n), (b, k_cb, w)
@@ -351,12 +363,6 @@ def _init_spec_state(
     dcfg = cfg.decoder
     k_cb, max_len, w = dcfg.num_codebooks, gen.max_length, window
     b = desc_ids.shape[0]
-    eos_id, pad_id = gen.eos_token_id, gen.pad_token_id
-    greedy = not gen.do_sample
-    hoist = gen.top_k <= 0 and gen.top_p >= 1.0
-    win_cfg = (
-        dcfg.sliding_window if gen.cache_implementation == "sliding_window" else None
-    )
 
     span = (0 if cfg.prompt_cross_attention else prompt_ids.shape[1]) + max_len + w
     if span > dcfg.max_position_embeddings:
@@ -491,6 +497,12 @@ def _prefill_and_window(
         props0 = jnp.argmax(xw[:, :, None, :] + g, axis=-1).astype(jnp.int32)
         cand_toks = jnp.moveaxis(props0, 2, 0)            # (W, B, K)
         cand_q = jnp.broadcast_to(q0[None], (w, b, k_cb) + q0.shape[-1:])
+        # finished entries propose PAD with q = delta_PAD (same exactness-and-
+        # acceptance argument as the spec_step next-window forcing)
+        es0 = adv0.eos_seen
+        pad_oh0 = jax.nn.one_hot(pad_id, q0.shape[-1], dtype=jnp.float32)
+        cand_toks = jnp.where(es0[None], pad_id, cand_toks)
+        cand_q = jnp.where(es0[None, :, :, None], pad_oh0, cand_q)
     pat0 = jnp.moveaxis(
         jax.lax.dynamic_slice(pattern_ext, (0, 0, t0), (b, k_cb, w)), 2, 0
     )
@@ -507,6 +519,26 @@ def _prefill_and_window(
         prompt_cols=jnp.int32(s0),
     )
     return state, pattern
+
+
+def _finalize_spec_output(
+    final: SpecState, pattern, gen: GenerationConfig, k_cb: int, t0,
+    frame_pad_id: int,
+):
+    """Shared tail restoration: columns >= final.t were never finalized, so
+    restore the AR tail (pattern PAD), re-apply the delay mask, un-delay, and
+    package (GenerateOutput, SpecStats)."""
+    max_len = gen.max_length
+    cols = jnp.arange(max_len)[None, None, :]
+    default_tail = jnp.where(pattern == -1, gen.pad_token_id, pattern)
+    out = jnp.where(
+        cols >= final.t, default_tail, final.out_ids[:, :, :max_len]
+    )
+    delayed = apply_delay_pattern_mask(out, pattern)
+    codes = undelay_pattern(delayed, k_cb)
+    lengths = valid_frame_lengths(codes, frame_pad_id)
+    stats = SpecStats(forwards=final.n_fwd, columns=final.t - t0)
+    return GenerateOutput(delayed, codes, lengths, final.t), stats
 
 
 def generate_tokens_speculative(
@@ -548,18 +580,8 @@ def generate_tokens_speculative(
         return (s.t < max_len) & ~jnp.all(s.eos.eos_seen)
 
     final = jax.lax.while_loop(cond, lambda s: spec_step(variables, s), state)
-
-    # columns >= t were never finalized; restore the AR tail (pattern PAD)
-    cols = jnp.arange(max_len)[None, None, :]
-    default_tail = jnp.where(pattern == -1, gen.pad_token_id, pattern)
-    out = jnp.where(
-        cols >= final.t, default_tail, final.out_ids[:, :, :max_len]
-    )
-    delayed = apply_delay_pattern_mask(out, pattern)
-    codes = undelay_pattern(delayed, k_cb)
-    lengths = valid_frame_lengths(codes, dcfg.pad_token_id)
-    stats = SpecStats(forwards=final.n_fwd, columns=final.t - t0)
-    return GenerateOutput(delayed, codes, lengths, final.t), stats
+    return _finalize_spec_output(final, pattern, gen, k_cb, t0,
+                                 dcfg.pad_token_id)
 
 
 def make_generate_speculative(
@@ -567,8 +589,35 @@ def make_generate_speculative(
     gen: GenerationConfig,
     window: int = 8,
     cache_dtype=jnp.bfloat16,
+    mesh=None,
 ):
-    """jit-wrapped `generate_tokens_speculative`."""
+    """jit-wrapped `generate_tokens_speculative`.
+
+    With `mesh`, the program runs SPMD exactly like `make_generate(mesh=...)`
+    (batch over the 'data' axis, decoder weights over 'model' per
+    `parallel/mesh.py`) — TP decode and speculation COMPOSE: TP-N divides the
+    per-chip weight bytes of every window forward while the window divides
+    the number of forwards, so the two latency levers multiply for large
+    models (greedy output stays token-identical to the single-device AR loop;
+    `tests/test_sharded_generation.py`)."""
+    if mesh is not None:
+        from ..parallel.mesh import batch_sharding, replicated
+
+        b_sh, r_sh = batch_sharding(mesh), replicated(mesh)
+
+        @functools.partial(
+            jax.jit,
+            in_shardings=(None, b_sh, b_sh, b_sh, b_sh, r_sh),
+            out_shardings=None,
+        )
+        def fn_sharded(params, desc_ids, desc_mask, prompt_ids, prompt_mask,
+                       rng):
+            return generate_tokens_speculative(
+                model, gen, params, desc_ids, desc_mask, prompt_ids,
+                prompt_mask, rng, cache_dtype=cache_dtype, window=window,
+            )
+
+        return fn_sharded
 
     @functools.partial(jax.jit, static_argnames=())
     def fn(params, desc_ids, desc_mask, prompt_ids, prompt_mask, rng,
@@ -683,14 +732,5 @@ def generate_tokens_decoder_only_speculative(
         return (s.t < max_len) & ~jnp.all(s.eos.eos_seen)
 
     final = jax.lax.while_loop(cond, lambda s: spec_step(variables, s), state)
-
-    cols = jnp.arange(max_len)[None, None, :]
-    default_tail = jnp.where(pattern == -1, gen.pad_token_id, pattern)
-    out = jnp.where(
-        cols >= final.t, default_tail, final.out_ids[:, :, :max_len]
-    )
-    delayed = apply_delay_pattern_mask(out, pattern)
-    codes = undelay_pattern(delayed, k_cb)
-    lengths = valid_frame_lengths(codes, dcfg.pad_token_id)
-    stats = SpecStats(forwards=final.n_fwd, columns=final.t - t0)
-    return GenerateOutput(delayed, codes, lengths, final.t), stats
+    return _finalize_spec_output(final, pattern, gen, k_cb, t0,
+                                 dcfg.pad_token_id)

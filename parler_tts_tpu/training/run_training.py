@@ -191,6 +191,11 @@ def run_training(
             use_chunked_attention=True, remat_layers=True,
             remat_policy=remat_policy,
         )
+    elif model.remat_layers and model.remat_policy != remat_policy:
+        # the caller passed a model that already remats — honor the CLI's
+        # remat_policy rather than silently keeping the model's
+        logger.info("applying remat_policy=%s", training_args.remat_policy)
+        model = model.clone(remat_policy=remat_policy)
     # mixed precision (reference recipe trains in bf16,
     # run_parler_tts_training.py:90-95,116 + starting_point_v1.json "dtype"):
     # params/optimizer stay fp32, the forward/backward computes in `dtype`
@@ -201,6 +206,12 @@ def run_training(
     }.get(training_args.dtype)
     if compute_dtype is None:
         raise ValueError(f"unknown training dtype {training_args.dtype!r}")
+    if training_args.adam_mu_dtype not in (None, "bfloat16", "bf16"):
+        raise ValueError(
+            f"unknown adam_mu_dtype {training_args.adam_mu_dtype!r} "
+            "(expected 'bfloat16' or unset; Adam's first moment is fp32 "
+            "by default)"
+        )
     if model.dtype != compute_dtype:
         logger.info("training compute dtype: %s", training_args.dtype)
         model = model.clone(dtype=compute_dtype)
@@ -235,9 +246,7 @@ def run_training(
         max_grad_norm=training_args.max_grad_norm,
         freeze_text_encoder=model_args.freeze_text_encoder,
         mu_dtype=(
-            jnp.bfloat16
-            if training_args.adam_mu_dtype in ("bfloat16", "bf16")
-            else None
+            jnp.bfloat16 if training_args.adam_mu_dtype is not None else None
         ),
     )
     state = TrainState.create(params, tx)
@@ -596,7 +605,7 @@ def run_eval(model, state, collator, eval_features, training_args, tracker, step
         return loss, per_cb
 
     pc = jax.process_count()
-    losses = []
+    losses = []  # (per-batch mean loss, rows in the batch)
     bs = training_args.per_device_eval_batch_size * max(jax.device_count(), 1)
 
     def run_one(feats, nbs):
@@ -609,15 +618,24 @@ def run_eval(model, state, collator, eval_features, training_args, tracker, step
         else:
             batch = jax.tree.map(jnp.asarray, batch)
         loss, _ = eval_loss(state.params, batch)
-        losses.append(float(loss))
+        losses.append((float(loss), len(feats)))
 
     n_full = (len(eval_features) // bs) * bs
     for i in range(0, n_full, bs):
         run_one(eval_features[i : i + bs], bs)
-    # remainder: run the tail at its own (process-divisible) size instead of
-    # silently skipping — a small eval set must still yield a metric
+    # remainder: run the tail at its own size instead of silently skipping —
+    # a small eval set must still yield a metric. The tail must stay
+    # divisible by the data-mesh axis (global rows are sharded over it under
+    # multi-host), not just by the process count.
+    div = mesh.shape["data"] if (pc > 1 and mesh is not None) else pc
     rem = len(eval_features) - n_full
-    rem -= rem % pc
+    dropped = rem % div
+    rem -= dropped
+    if dropped and rem == 0 and n_full == 0:
+        logger.warning(
+            "eval set (%d) smaller than the data-mesh axis (%d); no eval "
+            "loss computed", len(eval_features), div,
+        )
     if rem > 0:
         if n_full == 0:
             logger.warning(
@@ -626,9 +644,14 @@ def run_eval(model, state, collator, eval_features, training_args, tracker, step
                 len(eval_features), bs,
             )
         run_one(eval_features[n_full : n_full + rem], rem)
-    if losses:
-        log_metric(tracker, {"loss": float(np.mean(losses))}, 0.0, step, epoch, prefix="eval")
-    return float(np.mean(losses)) if losses else None
+    if not losses:
+        return None
+    # weight each batch mean by its row count: the (smaller) remainder batch
+    # must not carry the same weight as a full batch
+    total_rows = sum(n for _, n in losses)
+    avg = sum(l * n for l, n in losses) / total_rows
+    log_metric(tracker, {"loss": avg}, 0.0, step, epoch, prefix="eval")
+    return avg
 
 
 def run_eval_generation(

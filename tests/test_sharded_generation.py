@@ -64,6 +64,45 @@ def test_sharded_generation_with_model_parallel():
     assert np.isfinite(np.asarray(out.lengths)).all()
 
 
+def test_tensor_parallel_speculative_decode_matches_single_device():
+    """TP x SPECULATIVE composition — the two large-model latency levers
+    multiply (TP-N divides per-chip weight bytes per forward, the window
+    divides the number of forwards). Greedy speculative TP decode must be
+    token-identical to the single-device plain AR loop."""
+    from parler_tts_tpu.runtime.speculative import make_generate_speculative
+
+    cfg = tiny_config()
+    model = ParlerTTS(cfg)
+    params = init_state(model, make_optimizer()).params
+    gen = GenerationConfig(
+        max_length=16, min_new_tokens=6, do_sample=False,
+        bos_token_id=BOS, pad_token_id=PAD, eos_token_id=PAD,
+    )
+    rng = np.random.default_rng(5)
+    desc = rng.integers(0, 120, (1, 9)).astype(np.int32)
+    dm = np.ones((1, 9), np.int32)
+    prompt = rng.integers(0, 256, (1, 5)).astype(np.int32)
+    pm = np.ones((1, 5), np.int32)
+
+    single = make_generate(model, gen)(params, desc, dm, prompt, pm,
+                                       jax.random.key(6))
+
+    for n_model in (2, 4):
+        mesh = make_mesh(n_data=1, n_model=n_model,
+                         devices=jax.devices()[:n_model])
+        sharded = shard_params(params, mesh)
+        out, stats = make_generate_speculative(model, gen, window=4,
+                                               mesh=mesh)(
+            sharded, desc, dm, prompt, pm, jax.random.key(6)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out.delayed_ids), np.asarray(single.delayed_ids),
+            err_msg=f"n_model={n_model}",
+        )
+        # speculation actually engaged under TP: fewer forwards than columns
+        assert int(stats.forwards) < int(stats.columns)
+
+
 def test_tensor_parallel_b1_decode_matches_single_device():
     """Pure TP serving at B=1 — the large-model latency path (README: large-v1
     is 2.3B): decoder weights sharded over all 8 'model' devices, batch

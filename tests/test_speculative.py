@@ -227,6 +227,58 @@ def test_sampled_lengths_distribution(setup):
     assert abs(la.mean() - ls.mean()) <= noise + 3 * la.std() / np.sqrt(b)
 
 
+def test_sampled_finished_entries_propose_pad(setup):
+    """Once a (row, codebook) entry has recorded EOS, next-window proposals
+    for it must be PAD with q = delta_PAD. Proposals drawn from the
+    pre-pad-forcing softmax would reject nearly every window column for a
+    finished entry (its verify target is the forced-PAD distribution),
+    dragging the WHOLE batch's accept horizon to ~1 column/forward for the
+    EOS-cascade tail — and, at B > 1, for the entire remainder after the
+    shortest stream finishes."""
+    from parler_tts_tpu.ops.sampling import EosState
+    from parler_tts_tpu.runtime.speculative import (
+        _make_spec_step,
+        make_stream_functions_speculative,
+    )
+
+    model, params = setup
+    w = 4
+    gen = _gen_cfg(max_length=20, min_new_tokens=0, do_sample=True)
+    prefill_fn, _ = make_stream_functions_speculative(model, gen, window=w)
+    inp = _inputs(b=2, seed=12)
+    state = prefill_fn(params, *inp, jax.random.key(0))
+
+    # mark row 0 fully finished (EOS recorded on every codebook)
+    eos_seen = np.asarray(state.eos.eos_seen).copy()
+    eos_seen[0, :] = True
+    fu = np.asarray(state.eos.first_unfinished).copy()
+    fu[0] = CFG.decoder.num_codebooks - 1
+    state = state.replace(
+        eos=EosState(eos_seen=jnp.asarray(eos_seen),
+                     first_unfinished=jnp.asarray(fu))
+    )
+
+    spec_step = _make_spec_step(model, gen, w)
+    s1 = spec_step({"params": params}, state)
+    # row 0's next-window candidates are PAD with q = delta_PAD
+    assert np.all(np.asarray(s1.cand_toks)[:, 0, :] == PAD)
+    q0 = np.asarray(s1.cand_q)[:, 0, :, :]
+    np.testing.assert_allclose(q0[..., PAD], 1.0)
+    np.testing.assert_allclose(q0.sum(-1), 1.0, atol=1e-5)
+    # row 1 (active) keeps its real proposal distributions
+    q1 = np.asarray(s1.cand_q)[:, 1, :, :]
+    assert not np.allclose(q1[..., PAD], 1.0)
+
+    # at the next verify the PAD proposals match the forced-PAD finals: every
+    # column row 0 finalizes from here on is PAD (or a pattern override)
+    s2 = spec_step({"params": params}, s1)
+    t1, t2 = int(s1.t), int(s2.t)
+    assert t2 > t1
+    cols = np.asarray(s2.out_ids)[0, :, t1:t2]
+    pat = np.asarray(s2.pattern_ext)[0, :, t1:t2]
+    assert np.all((cols == PAD) | (pat != -1))
+
+
 # --------------------------------------------------------------------------
 def test_pipeline_speculative_route(setup):
     """Pipeline wiring: speculative path returns the standard output tuple
