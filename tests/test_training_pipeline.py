@@ -167,6 +167,50 @@ def test_end_to_end_smoke_training(tmp_path):
     assert int(state2.step) == 6
 
 
+def test_run_eval_remainder_batch_row_weighted(tmp_path):
+    """A small eval set must still yield a loss (remainder batch instead of a
+    silent skip), and the reported loss must weight each batch mean by its
+    ROW COUNT — a 2-row tail must not count as much as an 8-row batch."""
+    from parler_tts_tpu.training import TrainState, make_optimizer
+    from parler_tts_tpu.training.run_training import run_eval
+
+    cfg = tiny_config()
+    model = ParlerTTS(cfg)
+    rng = np.random.default_rng(7)
+    params = model.init(
+        jax.random.key(0),
+        np.zeros((1, 4), np.int32), np.ones((1, 4), np.int32),
+        np.zeros((1, 3), np.int32), np.ones((1, 3), np.int32),
+        np.zeros((1, 2, 4), np.int32),
+    )["params"]
+    state = TrainState.create(params, make_optimizer())
+    coll = DataCollatorParlerTTSWithPadding(
+        prompt_padding_side="left", pad_token_id=0, prompt_pad_token_id=0,
+        token_bucket=8, label_bucket=16,
+    )
+    feats = [
+        {
+            "labels": rng.integers(0, PAD, size=(int(t), 4)),
+            "input_ids": list(rng.integers(0, 120, size=6)),
+            "prompt_input_ids": list(rng.integers(0, 256, size=4)),
+        }
+        for t in rng.integers(8, 14, size=10)
+    ]
+    targs = TrainingArguments(
+        output_dir=str(tmp_path), per_device_eval_batch_size=1,
+        report_to="none",
+    )
+    bs = 1 * jax.device_count()  # 8 under the virtual CPU mesh
+    assert bs == 8
+
+    full = run_eval(model, state, coll, feats[:8], targs, None, 0, 0)
+    tail = run_eval(model, state, coll, feats[8:], targs, None, 0, 0)
+    assert full is not None and tail is not None  # remainder-only set works
+    combined = run_eval(model, state, coll, feats, targs, None, 0, 0)
+    expected = (8 * full + 2 * tail) / 10
+    assert abs(combined - expected) < 1e-6, (combined, expected)
+
+
 def test_eval_generation_smoke(tmp_path):
     """run_eval_generation produces audio + logs without optional metric deps."""
     import jax
