@@ -85,9 +85,19 @@ def build_pipeline(max_length: int, seconds_target: float):
     # weights (no network), and reports cols_per_fwd so the speedup's origin
     # is auditable. BENCH_MODE: spec (default) | plain | fused | xq.
     spec_w = int(os.environ.get("BENCH_SPEC_WINDOW", "24")) if mode == "spec" else None
+    # codec decode in bf16 — parity with common reference serving usage
+    # (`from_pretrained(..., torch_dtype=bfloat16)` runs the reference's DAC
+    # decode in bf16 too); waveform deviation vs fp32 is tolerance-tested
+    # (tests/test_dac_codec.py), and BENCH_CODEC_DTYPE=float32 restores fp32
+    codec_dtype = (
+        jnp.float32
+        if os.environ.get("BENCH_CODEC_DTYPE") == "float32"
+        else jnp.bfloat16
+    )
     return ParlerTTSPipeline(model, params, dac, dac_params, gen,
                              fused_decode=(mode == "fused"),
-                             speculative_window=spec_w)
+                             speculative_window=spec_w,
+                             codec_dtype=codec_dtype)
 
 
 def main():
@@ -127,7 +137,7 @@ def main():
         # it with real codes). Host-transfer of one sample forces full sync
         # (block_until_ready is unreliable through the axon tunnel).
         audio = pipe._decode_jit(
-            pipe.dac_params, jnp.clip(codes, 0, cb_size - 1)
+            pipe._dac_params_decode, jnp.clip(codes, 0, cb_size - 1)
         )
         np.asarray(audio[0, -1, 0])
         return audio

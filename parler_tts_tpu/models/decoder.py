@@ -240,12 +240,32 @@ class Attention(nn.Module):
 
         if cache_kv is not None:
             ck, cv = cache_kv
-            ck = jax.lax.dynamic_update_slice(
-                ck, k[None].astype(ck.dtype), (layer_idx, 0, cache_index, 0, 0)
-            )
-            cv = jax.lax.dynamic_update_slice(
-                cv, v[None].astype(cv.dtype), (layer_idx, 0, cache_index, 0, 0)
-            )
+            if jnp.ndim(cache_index) == 1:
+                # (B,) per-row write offsets (per-row speculative windows:
+                # each batch row sits at its own column). vmapped DUS lowers
+                # to one scatter of the B*T new rows.
+                def _upd(cl, nb, ib):
+                    return jax.lax.dynamic_update_slice(cl, nb, (ib, 0, 0))
+
+                lay_k = jax.vmap(_upd)(
+                    ck[layer_idx], k.astype(ck.dtype), cache_index
+                )
+                lay_v = jax.vmap(_upd)(
+                    cv[layer_idx], v.astype(cv.dtype), cache_index
+                )
+                ck = jax.lax.dynamic_update_slice(
+                    ck, lay_k[None], (layer_idx, 0, 0, 0, 0)
+                )
+                cv = jax.lax.dynamic_update_slice(
+                    cv, lay_v[None], (layer_idx, 0, 0, 0, 0)
+                )
+            else:
+                ck = jax.lax.dynamic_update_slice(
+                    ck, k[None].astype(ck.dtype), (layer_idx, 0, cache_index, 0, 0)
+                )
+                cv = jax.lax.dynamic_update_slice(
+                    cv, v[None].astype(cv.dtype), (layer_idx, 0, cache_index, 0, 0)
+                )
             cache_kv = (ck, cv)
             k, v = ck[layer_idx], cv[layer_idx]
 

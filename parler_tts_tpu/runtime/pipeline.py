@@ -189,6 +189,7 @@ class ParlerTTSPipeline:
         fused_decode: bool = False,
         fused_qkv: bool = False,
         speculative_window: Optional[int] = None,
+        codec_dtype: Any = None,
     ):
         from ..utils.compile_cache import enable_compilation_cache
 
@@ -259,12 +260,26 @@ class ParlerTTSPipeline:
                 model, self.generation_config, window=speculative_window
             )
         self._stream_fns = None
+        # opt-in serving mode: run the DAC decode conv stack in a reduced
+        # dtype (codec_dtype=jnp.bfloat16 halves its HBM traffic; the decode
+        # is the non-loop share of e2e latency). Audio is returned fp32; the
+        # ENCODE path (voice steering) keeps the original fp32 params so code
+        # assignment (quantizer argmin) is unaffected. Waveform deviation vs
+        # fp32 decode is tested at tolerance (tests/test_dac_codec.py).
+        if codec_dtype is not None:
+            from ..utils.dtypes import cast_floating
+
+            self._dac_params_decode = jax.device_put(
+                cast_floating(self.dac_params, codec_dtype)
+            )
+        else:
+            self._dac_params_decode = self.dac_params
         # jax.jit caches one compiled program per codes shape; bucketing keeps
         # the number of shapes small
         self._decode_jit = jax.jit(
             lambda dac_params, codes: self.dac.apply(
                 {"params": dac_params}, codes, method="decode"
-            )
+            ).astype(jnp.float32)
         )
 
     # ------------------------------------------------------------ constructors
@@ -476,7 +491,7 @@ class ParlerTTSPipeline:
         # invalid tail tokens would index OOB into codebooks; clamp to 0 (those
         # samples are trimmed by `lengths` anyway)
         sliced = jnp.clip(codes[:, :, :bucket], 0, self.config.audio_encoder.codebook_size - 1)
-        audio = self._decode_jit(self.dac_params, sliced)  # (B, T*hop, C)
+        audio = self._decode_jit(self._dac_params_decode, sliced)  # (B, T*hop, C)
         if audio.shape[-1] == 1:
             return np.asarray(audio[:, :, 0]), np.asarray(lengths) * hop
         # stereo codecs: interleave channels, PCM-style (samples = frames*hop*C —
@@ -629,7 +644,7 @@ class ParlerTTSPipeline:
         m = min(_round_up(n - w0, play_steps), codes.shape[-1] - w0)
         window = jnp.clip(codes[:, :, w0 : w0 + m], 0, cb_max)
         audio = np.asarray(
-            self._decode_jit(self.dac_params, window)
+            self._decode_jit(self._dac_params_decode, window)
         )[:, : (n - w0) * hop, 0]
         return audio, w0 * hop
 

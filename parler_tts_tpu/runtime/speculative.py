@@ -65,7 +65,6 @@ from ..ops.sampling import (
     apply_top_p,
     init_eos_state,
     mask_eos_ordering,
-    record_sampled,
     speculative_accept,
 )
 from .generate import GenerateOutput, _sample_column
@@ -121,16 +120,30 @@ def _base_logits(logits, col_idx, gen: GenerationConfig, prompt_cols):
         active = col_idx < gen.min_new_tokens + prompt_cols
         if x.ndim == 4 and jnp.ndim(active) == 1:  # (B, K, W, V) with (W,) cols
             active = active[None, None, :, None]
+        elif x.ndim == 4 and jnp.ndim(active) == 2:  # per-row (B, W) cols
+            active = active[:, None, :, None]
         x = jnp.where(active & eos_col, jnp.finfo(jnp.float32).min, x)
     return x
 
 
-def _make_spec_step(model: ParlerTTS, gen: GenerationConfig, window: int):
+def _make_spec_step(
+    model: ParlerTTS, gen: GenerationConfig, window: int, per_row: bool = False
+):
     """Build the one-forward-per-window body: SpecState -> SpecState.
 
     Static closure over (model, gen, window); everything traced comes from
     the state, so the same body serves the offline while_loop and the
     streaming chunk scan (separate jits).
+
+    With `per_row=True` every batch row advances by ITS OWN accepted prefix
+    (state.t and the cache write pointer become (B,) vectors; rows slice
+    their window inputs, positions, pattern and output blocks at per-row
+    offsets) instead of the batch-shared minimum — the per-forward accepted
+    columns then do not decay with batch size, which turns speculation into
+    a THROUGHPUT lever as well as a latency one. Rows that finish (EOS on
+    every codebook, or max_length) freeze (advance 0) while the rest of the
+    batch keeps moving. Each row's output is exact under the same contract
+    as the shared-horizon mode.
     """
     dcfg = model.config.decoder
     k_cb, max_len, w = dcfg.num_codebooks, gen.max_length, window
@@ -144,134 +157,171 @@ def _make_spec_step(model: ParlerTTS, gen: GenerationConfig, window: int):
     pad_oh = jax.nn.one_hot(pad_id, dcfg.vocab_size, dtype=jnp.float32)[None, None, :]
     cb_idx = jnp.arange(k_cb)[None, :]
 
-    def verify_scan(logits, state: SpecState, uniforms, res_g, prop_g):
-        """Sequential accept/verify over the W window columns.
+    def verify_window(logits, state: SpecState, uniforms, res_g):
+        """Accept/verify the W window columns — VECTORIZED across the window.
 
-        Two EOS trajectories are carried: `eos_prop` follows the CANDIDATE
-        tokens (the conditioning of this forward's distributions — valid as
-        proposal context even past the accept horizon) and `eos_real` follows
-        the FINALIZED tokens and freezes once accepting stops. They coincide
-        on the accepted prefix, which is what makes the verify exact.
+        The per-column verify in the naive formulation is a W-step sequential
+        scan, which costs ~W serial op-dispatch chains per forward on TPU.
+        But the only true sequential dependency is the EOS trajectory of the
+        CANDIDATE tokens (the conditioning of this forward's distributions),
+        and that trajectory is known UP FRONT: `eos_seen` is a cumulative OR
+        over candidate EOS hits, and `first_unfinished` is a tiny (B,)-sized
+        bump recurrence (at most +1 per column) over that cumulative OR —
+        unrolled here over W columns of scalar-ish ops while every V-sized op
+        (softmax/argmax/rejection) runs once over the whole (W, B, K, V)
+        block. The FINALIZED-token trajectory coincides with the candidate
+        trajectory on the accepted prefix (where final == cand), which is
+        what makes using the candidate chain exact; the one column that can
+        differ (the first rejected one) is re-recorded at the gather below.
         """
         b = logits.shape[0]
-        col_idx = state.t + jnp.arange(w)                     # (W,)
+        if per_row:
+            col_idx = state.t[:, None] + jnp.arange(w)[None, :]    # (B, W)
+        else:
+            col_idx = state.t + jnp.arange(w)                 # (W,)
         x = _base_logits(logits, col_idx, gen, state.prompt_cols)  # (B, K, W, V)
-        props_pre = None
+        xw = jnp.moveaxis(x, 2, 0)                            # (W, B, K, V)
+        cand = state.cand_toks                                # (W, B, K)
+
+        # --- candidate-driven EOS chain, closed form over the window ---
+        e0 = state.eos.eos_seen                               # (B, K)
+        cum = jnp.cumsum(cand == eos_id, axis=0) > 0          # OR_{j<=i}
+        es_after = e0[None] | cum                             # (W,B,K) through col i
+        # eos_seen BEFORE column i (the `adv.eos_seen` of the naive scan)
+        es = jnp.concatenate([e0[None], es_after[:-1]], axis=0)
+        # first_unfinished bump recurrence: fu_i = bump(fu_{i-1}, es_i)
+        fu = state.eos.first_unfinished                       # (B,)
+        fus = []
+        for i in range(w):
+            cur_seen = jnp.take_along_axis(es[i], fu[:, None], axis=1)[:, 0]
+            fu = jnp.where(cur_seen & (fu < k_cb - 1), fu + 1, fu)
+            fus.append(fu)
+        fu_w = jnp.stack(fus)                                 # (W, B)
+        forbid = cb_idx[None] > fu_w[:, :, None]              # (W, B, K)
+
+        # --- per-column finals, one vectorized block over (W, B, K, V) ---
         if greedy:
-            xs_main = jnp.moveaxis(x, 2, 0)                   # (W, B, K, V) logits
-        elif hoist:
-            xw = x / gen.temperature if gen.temperature != 1.0 else x
-            xs_main = jnp.moveaxis(jax.nn.softmax(xw, axis=-1), 2, 0)  # probs P
-            # W independent proposal draws per column, hoisted out of the scan
-            props_pre = jnp.moveaxis(
-                jnp.argmax(xw[:, :, :, None, :] + prop_g, axis=-1).astype(jnp.int32),
+            xm = jnp.where(forbid[..., None] & eos_oh[None],
+                           jnp.finfo(jnp.float32).min, xw)
+            final = jnp.argmax(xm, axis=-1).astype(jnp.int32)
+            final = jnp.where(es, pad_id, final)
+            q_vecs = None
+        else:
+            if hoist:
+                xt = xw / gen.temperature if gen.temperature != 1.0 else xw
+                q_vecs = jax.nn.softmax(xt, axis=-1)          # proposal dist P
+                # exact post-EOS-mask distribution via renormalization:
+                # zero the EOS entry for forbidden codebooks and rescale
+                p_eos = q_vecs[..., eos_id]
+                scale = jnp.where(
+                    forbid, 1.0 / jnp.clip(1.0 - p_eos, 1e-9, None), 1.0
+                )
+                p = jnp.where(forbid[..., None] & eos_oh[None], 0.0,
+                              q_vecs * scale[..., None])
+            else:
+                xm = jnp.where(forbid[..., None] & eos_oh[None],
+                               jnp.finfo(jnp.float32).min, xw)
+                xt = xm / gen.temperature if gen.temperature != 1.0 else xm
+                xt = apply_top_k(xt, gen.top_k)
+                xt = apply_top_p(xt, gen.top_p)
+                p = jax.nn.softmax(xt, axis=-1)
+                q_vecs = p                 # proposals drawn pre-pad-forcing
+            # finished rows deterministically emit PAD (AR's post-sample fill)
+            p = jnp.where(es[..., None], pad_oh[None], p)
+            final, _ = speculative_accept(p, state.cand_q, cand, uniforms, res_g)
+
+        # --- accept horizon: finalized_i = AND_{j<i} m_j (first col always in)
+        if per_row:
+            match = jnp.all(final == cand, axis=2)            # (W, B)
+            m = (
+                match
+                & ~jnp.all(es_after, axis=2)
+                & (col_idx.T + 1 < max_len)
+            )                                                 # (W, B)
+            finalized = jnp.concatenate(
+                [jnp.ones((1, b), bool),
+                 jnp.cumprod(m[:-1].astype(jnp.int32), axis=0) > 0]
+            )                                                 # (W, B)
+            # frozen rows (all-EOS recorded, or at max_length) advance 0
+            done = jnp.all(state.eos.eos_seen, axis=1) | (state.t >= max_len)
+            n_acc = jnp.where(
+                done, 0, jnp.sum(finalized.astype(jnp.int32), axis=0)
+            )                                                 # (B,)
+
+            i_last = jnp.clip(n_acc - 1, 0, w - 1)            # (B,)
+            fin_last = jnp.take_along_axis(
+                final, i_last[None, :, None], axis=0
+            )[0]                                              # (B, K)
+            es_last = jnp.take_along_axis(es, i_last[None, :, None], axis=0)[0]
+            fu_last = jnp.take_along_axis(fu_w, i_last[None, :], axis=0)[0]
+            eos_real_f = EosState(
+                eos_seen=jnp.where(
+                    done[:, None], state.eos.eos_seen,
+                    es_last | (fin_last == eos_id),
+                ),
+                first_unfinished=jnp.where(
+                    done, state.eos.first_unfinished, fu_last
+                ),
+            )
+            pat_w = jnp.moveaxis(
+                jax.vmap(
+                    lambda pb, tb: jax.lax.dynamic_slice(pb, (0, tb), (k_cb, w))
+                )(state.pattern_ext, state.t),
                 2, 0,
-            )                                                 # (W, B, K, W)
-        else:
-            xs_main = jnp.moveaxis(x, 2, 0)                   # logits; chain in-scan
-        pat_w = jnp.moveaxis(
-            jax.lax.dynamic_slice(
-                state.pattern_ext, (0, 0, state.t), (b, k_cb, w)
-            ),
-            2, 0,
-        )
-
-        def body(carry, xs):
-            eos_prop, eos_real, accepting, n_acc = carry
-            if greedy:
-                x_i, cand, pat, col = xs
-            elif hoist:
-                x_i, cand, q, pat, u, rg, col = xs
-            else:
-                x_i, cand, q, pat, u, rg, pg, col = xs
-            adv = advance_eos_state(eos_prop, k_cb)
-            es = adv.eos_seen                                  # (B, K)
-            if greedy:
-                xm = mask_eos_ordering(x_i, adv, eos_id)
-                final = jnp.argmax(xm, axis=-1).astype(jnp.int32)
-                final = jnp.where(es, pad_id, final)
-                q_vec = props = None
-            else:
-                if hoist:
-                    # exact post-EOS-mask distribution via renormalization:
-                    # zero the EOS entry for forbidden codebooks and rescale
-                    forbid = cb_idx > adv.first_unfinished[:, None]
-                    p_eos = x_i[..., eos_id]
-                    scale = jnp.where(
-                        forbid, 1.0 / jnp.clip(1.0 - p_eos, 1e-9, None), 1.0
-                    )
-                    p = jnp.where(forbid[:, :, None] & eos_oh, 0.0,
-                                  x_i * scale[:, :, None])
-                    props = None           # precomputed (props_pre)
-                    q_vec = x_i            # proposals were drawn from P = x_i
-                else:
-                    xm = mask_eos_ordering(x_i, adv, eos_id)
-                    xw = xm / gen.temperature if gen.temperature != 1.0 else xm
-                    xw = apply_top_k(xw, gen.top_k)
-                    xw = apply_top_p(xw, gen.top_p)
-                    p = jax.nn.softmax(xw, axis=-1)
-                    props = jnp.argmax(
-                        xw[:, :, None, :] + pg, axis=-1
-                    ).astype(jnp.int32)                        # (B, K, W)
-                    q_vec = p              # proposals drawn pre-pad-forcing
-                # finished rows deterministically emit PAD (AR's post-sample fill)
-                p = jnp.where(es[:, :, None], pad_oh, p)
-                final, _ = speculative_accept(p, q, cand, u, rg)
-            match = jnp.all(final == cand)
-            eos_prop_new = record_sampled(adv, cand, eos_id)
-            rec_real = record_sampled(adv, final, eos_id)
-            finalized = accepting
-            eos_real_new = jax.tree.map(
-                lambda a_, b_: jnp.where(finalized, a_, b_), rec_real, eos_real
             )
-            accepting_next = (
-                accepting & match
-                & ~jnp.all(rec_real.eos_seen)
-                & (col + 1 < max_len)
-            )
-            stored = jnp.where(pat == -1, final, pat)
-            n_acc = n_acc + finalized.astype(jnp.int32)
-            ys = (final, stored, finalized, q_vec, props)
-            return (eos_prop_new, eos_real_new, accepting_next, n_acc), ys
-
-        if greedy:
-            xs = (xs_main, state.cand_toks, pat_w, col_idx)
-        elif hoist:
-            xs = (xs_main, state.cand_toks, state.cand_q, pat_w, uniforms,
-                  res_g, col_idx)
         else:
-            xs = (xs_main, state.cand_toks, state.cand_q, pat_w, uniforms,
-                  res_g, prop_g, col_idx)
-        carry0 = (state.eos, state.eos, jnp.bool_(True), jnp.int32(0))
-        (_, eos_real_f, _, n_acc), ys = jax.lax.scan(body, carry0, xs)
-        finals, stored, finalized, q_vecs, props = ys
-        if not greedy and hoist:
-            props = props_pre
-        return finals, stored, finalized, q_vecs, props, n_acc, eos_real_f
+            match = jnp.all(final == cand, axis=(1, 2))       # (W,)
+            m = match & ~jnp.all(es_after, axis=(1, 2)) & (col_idx + 1 < max_len)
+            finalized = jnp.concatenate(
+                [jnp.ones((1,), bool), jnp.cumprod(m[:-1].astype(jnp.int32)) > 0]
+            )                                                 # (W,)
+            n_acc = jnp.sum(finalized.astype(jnp.int32))
+
+            # --- eos state after the last finalized column, with FINAL tokens
+            # (differs from the candidate chain only when that column rejected)
+            i_last = n_acc - 1
+            fin_last = jax.lax.dynamic_index_in_dim(final, i_last, 0, False)
+            es_last = jax.lax.dynamic_index_in_dim(es, i_last, 0, False)
+            fu_last = jax.lax.dynamic_index_in_dim(fu_w, i_last, 0, False)
+            eos_real_f = EosState(
+                eos_seen=es_last | (fin_last == eos_id), first_unfinished=fu_last
+            )
+            pat_w = jnp.moveaxis(
+                jax.lax.dynamic_slice(
+                    state.pattern_ext, (0, 0, state.t), (b, k_cb, w)
+                ),
+                2, 0,
+            )
+        stored = jnp.where(pat_w == -1, final, pat_w)
+        return final, stored, q_vecs, n_acc, eos_real_f
 
     def spec_step(variables, state: SpecState) -> SpecState:
         b = state.out_ids.shape[0]
         rng, ru, rr, rp = jax.random.split(state.rng, 4)
         v = dcfg.vocab_size
-        uniforms = res_g = prop_g = None
+        uniforms = res_g = None
         if not greedy:
             uniforms = jax.random.uniform(ru, (w, b, k_cb))
             res_g = jax.random.gumbel(rr, (w, b, k_cb, v), jnp.float32)
-            prop_g = jax.random.gumbel(
-                rp, (b, k_cb, w, w, v) if hoist else (w, b, k_cb, w, v),
-                jnp.float32,
-            )
 
         # ---- one forward over the whole window: inputs = columns t-1..t+W-2
-        inputs = jax.lax.dynamic_slice(
-            state.out_ids, (0, 0, state.t - 1), (b, k_cb, w)
-        )
+        if per_row:
+            inputs = jax.vmap(
+                lambda ob, tb: jax.lax.dynamic_slice(ob, (0, tb - 1), (k_cb, w))
+            )(state.out_ids, state.t)
+            q_pos = (
+                state.s_p + (state.t[:, None] - 1) + jnp.arange(w)[None, :]
+            ).astype(jnp.int32)                                # (B, W)
+        else:
+            inputs = jax.lax.dynamic_slice(
+                state.out_ids, (0, 0, state.t - 1), (b, k_cb, w)
+            )
+            q_pos = jnp.broadcast_to(
+                state.s_p + (state.t - 1) + jnp.arange(w)[None, :], (b, w)
+            ).astype(jnp.int32)
         emb = model.apply(
             variables, inputs, method=lambda m, x: m.decoder_lm.embed_ids(x)
         )
-        q_pos = jnp.broadcast_to(
-            state.s_p + (state.t - 1) + jnp.arange(w)[None, :], (b, w)
-        ).astype(jnp.int32)
         bias = causal_self_attention_bias(q_pos, state.kv_valid, win_cfg)
         cross_bias = padding_cross_attention_bias(state.enc_mask, w)
         logits, cache = model.apply(
@@ -280,25 +330,36 @@ def _make_spec_step(model: ParlerTTS, gen: GenerationConfig, window: int):
             method=lambda m, *a, **kw: m.decoder_lm(*a, **kw),
         )                                                      # (B, K, W, V)
 
-        finals, stored_f, finalized, q_vecs, props, n_acc, eos_new = verify_scan(
-            logits, state, uniforms, res_g, prop_g
+        finals, stored_f, q_vecs, n_acc, eos_new = verify_window(
+            logits, state, uniforms, res_g
         )
         n = n_acc  # >= 1: the first window column is always finalized
 
         # ---- next window candidates for columns [t+n, t+n+W-1]: slot j draws
-        # independently (draw index j) from this forward's distribution at
-        # column min(n+j, W-1) (tail slots reuse the last computed column)
-        src = jnp.minimum(n + jnp.arange(w), w - 1)            # (W,)
+        # independently from this forward's distribution at column
+        # min(n+j, W-1) (tail slots reuse the last computed column). Drawing
+        # AFTER the accept count is known needs only W gumbel vectors — the
+        # per-(column, slot) pre-draw would be W**2 * V gumbels per forward
+        # (~43 MB at W=24), of which only W are ever consumed.
+        if per_row:
+            src = jnp.minimum(
+                n[None, :] + jnp.arange(w)[:, None], w - 1
+            )                                                  # (W, B)
+            take_src = lambda a: jnp.take_along_axis(  # noqa: E731
+                a, src.reshape(src.shape + (1,) * (a.ndim - 2)), axis=0
+            )
+        else:
+            src = jnp.minimum(n + jnp.arange(w), w - 1)        # (W,)
+            take_src = lambda a: jnp.take(a, src, axis=0)  # noqa: E731
         if greedy:
-            new_cand = jnp.take(finals, src, axis=0)           # (W, B, K)
+            new_cand = take_src(finals)                        # (W, B, K)
             new_q = None
         else:
-            props_src = jnp.take(props, src, axis=0)           # (W, B, K, W)
-            new_cand = jnp.take_along_axis(
-                props_src,
-                jnp.arange(w)[:, None, None, None], axis=-1,
-            )[..., 0]                                          # (W, B, K)
-            new_q = jnp.take(q_vecs, src, axis=0)              # (W, B, K, V)
+            new_q = take_src(q_vecs)                           # (W, B, K, V)
+            gp = jax.random.gumbel(rp, (w, b, k_cb, v), jnp.float32)
+            new_cand = jnp.argmax(
+                jnp.where(new_q > 0.0, jnp.log(new_q), -jnp.inf) + gp, axis=-1
+            ).astype(jnp.int32)                                # (W, B, K)
             # (B, K) entries that have finished (EOS recorded through the
             # accepted prefix) deterministically emit PAD at EVERY future
             # column, so propose PAD with q = delta_PAD: still exact (q is
@@ -311,30 +372,61 @@ def _make_spec_step(model: ParlerTTS, gen: GenerationConfig, window: int):
             es_next = advance_eos_state(eos_new, k_cb).eos_seen  # (B, K)
             new_cand = jnp.where(es_next[None], pad_id, new_cand)
             new_q = jnp.where(es_next[None, :, :, None], pad_oh[None], new_q)
-        pat_next = jnp.moveaxis(
-            jax.lax.dynamic_slice(
-                state.pattern_ext, (0, 0, state.t + n), (b, k_cb, w)
-            ),
-            2, 0,
-        )
+        if per_row:
+            pat_next = jnp.moveaxis(
+                jax.vmap(
+                    lambda pb, tb: jax.lax.dynamic_slice(
+                        pb, (0, tb), (k_cb, w)
+                    )
+                )(state.pattern_ext, state.t + n),
+                2, 0,
+            )
+        else:
+            pat_next = jnp.moveaxis(
+                jax.lax.dynamic_slice(
+                    state.pattern_ext, (0, 0, state.t + n), (b, k_cb, w)
+                ),
+                2, 0,
+            )
         new_stored = jnp.where(pat_next == -1, new_cand, pat_next)
 
         # ---- write finals + next candidates back in one 2W-wide block
-        cur = jnp.moveaxis(
-            jax.lax.dynamic_slice(
-                state.out_ids, (0, 0, state.t), (b, k_cb, 2 * w)
-            ), 2, 0
-        )                                                      # (2W, B, K)
         i_idx = jnp.arange(2 * w)
         fin_sel = jnp.take(stored_f, jnp.clip(i_idx, 0, w - 1), axis=0)
-        cand_sel = jnp.take(new_stored, jnp.clip(i_idx - n, 0, w - 1), axis=0)
-        blk = jnp.where(
-            (i_idx < n)[:, None, None], fin_sel,
-            jnp.where((i_idx < n + w)[:, None, None], cand_sel, cur),
-        )
-        out = jax.lax.dynamic_update_slice(
-            state.out_ids, jnp.moveaxis(blk, 0, 2), (0, 0, state.t)
-        )
+        if per_row:
+            cur = jnp.moveaxis(
+                jax.vmap(
+                    lambda ob, tb: jax.lax.dynamic_slice(
+                        ob, (0, tb), (k_cb, 2 * w)
+                    )
+                )(state.out_ids, state.t),
+                2, 0,
+            )                                                  # (2W, B, K)
+            cand_sel = jnp.take_along_axis(
+                new_stored,
+                jnp.clip(i_idx[:, None] - n[None, :], 0, w - 1)[:, :, None],
+                axis=0,
+            )                                                  # (2W, B, K)
+            below_n = (i_idx[:, None] < n[None, :])[:, :, None]
+            below_nw = (i_idx[:, None] < n[None, :] + w)[:, :, None]
+            blk = jnp.where(below_n, fin_sel, jnp.where(below_nw, cand_sel, cur))
+            out = jax.vmap(
+                lambda ob, bb, tb: jax.lax.dynamic_update_slice(ob, bb, (0, tb))
+            )(state.out_ids, jnp.moveaxis(blk, 0, 2), state.t)
+        else:
+            cur = jnp.moveaxis(
+                jax.lax.dynamic_slice(
+                    state.out_ids, (0, 0, state.t), (b, k_cb, 2 * w)
+                ), 2, 0
+            )                                                  # (2W, B, K)
+            cand_sel = jnp.take(new_stored, jnp.clip(i_idx - n, 0, w - 1), axis=0)
+            blk = jnp.where(
+                (i_idx < n)[:, None, None], fin_sel,
+                jnp.where((i_idx < n + w)[:, None, None], cand_sel, cur),
+            )
+            out = jax.lax.dynamic_update_slice(
+                state.out_ids, jnp.moveaxis(blk, 0, 2), (0, 0, state.t)
+            )
 
         # roll the cache write pointer back to s_p + (t + n) - 1: rejected
         # columns' K/V rows are rewritten by the next forward before any
@@ -356,6 +448,7 @@ def _init_spec_state(
     decoder_prompt_codes,
     cache_dtype,
     window: int,
+    per_row: bool = False,
 ):
     """Shared setup: encoder precompute, delay pattern, cache, prefill, first
     sampled column, initial candidate window. Returns (SpecState, pattern)."""
@@ -403,13 +496,13 @@ def _init_spec_state(
         )
     return _prefill_and_window(
         model, gen, variables, b, s_p, prefix, prefix_mask,
-        enc_states, enc_mask, start, rng, cache_dtype, w,
+        enc_states, enc_mask, start, rng, cache_dtype, w, per_row=per_row,
     )
 
 
 def _prefill_and_window(
     model, gen: GenerationConfig, variables, b, s_p, prefix, prefix_mask,
-    enc_states, enc_mask, start, rng, cache_dtype, w,
+    enc_states, enc_mask, start, rng, cache_dtype, w, per_row: bool = False,
 ):
     """Prefill + first sampled column + initial candidate window -> SpecState.
     Shared by the composite and decoder-only entry points."""
@@ -511,9 +604,17 @@ def _prefill_and_window(
         out_ids, jnp.moveaxis(stored0, 0, 2), (0, 0, t0)
     )
 
+    t_init = (
+        jnp.full((b,), t0, jnp.int32) if per_row else jnp.int32(t0)
+    )
+    if per_row:
+        # per-row write pointer from here on (rows advance independently)
+        cache = cache.replace(
+            index=jnp.broadcast_to(cache.index, (b,)).astype(jnp.int32)
+        )
     state = SpecState(
         out_ids=out_ids, cand_toks=cand_toks, cand_q=cand_q, cache=cache,
-        eos=eos_state, rng=rng, t=jnp.int32(t0), n_fwd=jnp.int32(0),
+        eos=eos_state, rng=rng, t=t_init, n_fwd=jnp.int32(0),
         pattern_ext=pattern_ext, kv_valid=kv_valid,
         enc_mask=jnp.asarray(enc_mask), s_p=jnp.int32(s_p),
         prompt_cols=jnp.int32(s0),
@@ -531,14 +632,23 @@ def _finalize_spec_output(
     max_len = gen.max_length
     cols = jnp.arange(max_len)[None, None, :]
     default_tail = jnp.where(pattern == -1, gen.pad_token_id, pattern)
+    per_row = jnp.ndim(final.t) == 1
+    thr = final.t[:, None, None] if per_row else final.t
     out = jnp.where(
-        cols >= final.t, default_tail, final.out_ids[:, :, :max_len]
+        cols >= thr, default_tail, final.out_ids[:, :, :max_len]
     )
     delayed = apply_delay_pattern_mask(out, pattern)
     codes = undelay_pattern(delayed, k_cb)
     lengths = valid_frame_lengths(codes, frame_pad_id)
-    stats = SpecStats(forwards=final.n_fwd, columns=final.t - t0)
-    return GenerateOutput(delayed, codes, lengths, final.t), stats
+    if per_row:
+        stats = SpecStats(
+            forwards=final.n_fwd, columns=jnp.sum(final.t - t0)
+        )
+        steps = jnp.max(final.t)
+    else:
+        stats = SpecStats(forwards=final.n_fwd, columns=final.t - t0)
+        steps = final.t
+    return GenerateOutput(delayed, codes, lengths, steps), stats
 
 
 def generate_tokens_speculative(
@@ -553,16 +663,19 @@ def generate_tokens_speculative(
     decoder_prompt_codes: Optional[jnp.ndarray] = None,
     cache_dtype=jnp.bfloat16,
     window: int = 8,
+    per_row: bool = False,
 ):
     """Speculative generation; same contract as `generate_tokens` plus stats.
 
     Greedy (do_sample=False) is token-identical to the AR loop. Sampling
     preserves the AR sampling distribution but consumes the rng stream
     differently, so individual draws differ from `generate_tokens` at equal
-    seeds. With B > 1 the accept horizon is shared across rows (the window
-    advances by the minimum accepted prefix over the batch): still exact per
-    row, but acceptance decays with B — speculation is a small-batch
-    latency lever.
+    seeds. With B > 1 the default shares the accept horizon across rows (the
+    window advances by the minimum accepted prefix over the batch): still
+    exact per row, but acceptance decays with B. `per_row=True` advances
+    every row by its OWN accepted prefix (per-row column pointer + per-row
+    KV write offsets), keeping the B=1 acceptance rate at any batch size —
+    the batched-serving mode.
     """
     assert window >= 1
     dcfg = model.config.decoder
@@ -571,13 +684,18 @@ def generate_tokens_speculative(
 
     state, pattern = _init_spec_state(
         model, gen, variables, desc_ids, desc_mask, prompt_ids, prompt_mask,
-        rng, decoder_prompt_codes, cache_dtype, window,
+        rng, decoder_prompt_codes, cache_dtype, window, per_row=per_row,
     )
     t0 = state.t  # s0 + 1 (traced)
-    spec_step = _make_spec_step(model, gen, window)
+    spec_step = _make_spec_step(model, gen, window, per_row=per_row)
 
-    def cond(s: SpecState):
-        return (s.t < max_len) & ~jnp.all(s.eos.eos_seen)
+    if per_row:
+        def cond(s: SpecState):
+            active = (s.t < max_len) & ~jnp.all(s.eos.eos_seen, axis=1)
+            return jnp.any(active)
+    else:
+        def cond(s: SpecState):
+            return (s.t < max_len) & ~jnp.all(s.eos.eos_seen)
 
     final = jax.lax.while_loop(cond, lambda s: spec_step(variables, s), state)
     return _finalize_spec_output(final, pattern, gen, k_cb, t0,
@@ -590,6 +708,7 @@ def make_generate_speculative(
     window: int = 8,
     cache_dtype=jnp.bfloat16,
     mesh=None,
+    per_row: bool = False,
 ):
     """jit-wrapped `generate_tokens_speculative`.
 
@@ -615,6 +734,7 @@ def make_generate_speculative(
             return generate_tokens_speculative(
                 model, gen, params, desc_ids, desc_mask, prompt_ids,
                 prompt_mask, rng, cache_dtype=cache_dtype, window=window,
+                per_row=per_row,
             )
 
         return fn_sharded
@@ -625,7 +745,7 @@ def make_generate_speculative(
         return generate_tokens_speculative(
             model, gen, params, desc_ids, desc_mask, prompt_ids, prompt_mask,
             rng, decoder_prompt_codes=decoder_prompt_codes,
-            cache_dtype=cache_dtype, window=window,
+            cache_dtype=cache_dtype, window=window, per_row=per_row,
         )
 
     return fn

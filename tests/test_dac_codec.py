@@ -228,3 +228,26 @@ def test_roundtrip_reconstruction_consistency(pair):
         ref = oracle.decode(oracle.encode(torch.tensor(audio))).numpy()
     ours = np.asarray(model.apply({"params": params}, jnp.asarray(audio.transpose(0, 2, 1))))
     np.testing.assert_allclose(ours[:, :, 0], ref[:, 0, :], atol=1e-5, rtol=1e-4)
+
+
+def test_decode_bf16_close_to_fp32(pair):
+    """The bf16 codec-decode serving mode (pipeline `codec_dtype`): waveform
+    within bf16 tolerance of the fp32 decode, relative to the signal scale
+    (common reference serving runs DAC in the model dtype the same way —
+    `from_pretrained(torch_dtype=bfloat16)`)."""
+    from parler_tts_tpu.utils.dtypes import cast_floating
+
+    _, model, params = pair
+    rng = np.random.default_rng(3)
+    codes = rng.integers(0, TINY.codebook_size, size=(2, TINY.num_codebooks, 24))
+    f32 = np.asarray(
+        model.apply({"params": params}, jnp.asarray(codes), method="decode")
+    )
+    p16 = cast_floating(params, jnp.bfloat16)
+    b16 = np.asarray(
+        model.apply({"params": p16}, jnp.asarray(codes), method="decode")
+    ).astype(np.float32)
+    assert b16.shape == f32.shape
+    scale = np.sqrt(np.mean(f32**2)) + 1e-9
+    rel_rms = np.sqrt(np.mean((b16 - f32) ** 2)) / scale
+    assert rel_rms < 3e-2, rel_rms

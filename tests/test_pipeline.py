@@ -437,3 +437,25 @@ def test_stream_batch_voice_steering_matches_single_stream(pipe):
         assert chunk.shape == (2, ref_chunk.shape[1])
         for i in range(2):
             np.testing.assert_allclose(chunk[i], ref_chunk[0], atol=1e-3)
+
+
+def test_codec_dtype_bf16_pipeline(pipe):
+    """`codec_dtype=bf16` serving mode: same wiring, audio close to the fp32
+    pipeline's output (greedy: identical codes, only the codec decode dtype
+    differs)."""
+    import jax.numpy as jnp
+
+    desc, dm, prompt, pm = _ids(seed=7)
+    pipe16 = ParlerTTSPipeline(
+        pipe.model, pipe.params, pipe.dac, pipe.dac_params,
+        GEN, frame_bucket=8, codec_dtype=jnp.bfloat16,
+    )
+    a32, l32 = pipe.generate(desc, prompt, desc_mask=dm, prompt_mask=pm, seed=0)
+    a16, l16 = pipe16.generate(desc, prompt, desc_mask=dm, prompt_mask=pm, seed=0)
+    np.testing.assert_array_equal(l32, l16)
+    assert a16.dtype == np.float32
+    scale = np.sqrt(np.mean(a32**2)) + 1e-9
+    # random-weight decoders are a worst case for reduced precision (chaotic
+    # unnormalized filters, near-saturated output); trained DAC weights are
+    # weight-normed and far better conditioned. Bound the worst case.
+    assert np.sqrt(np.mean((a16 - a32) ** 2)) / scale < 0.12

@@ -446,3 +446,94 @@ def test_decoder_only_speculative_greedy_identical(setup):
         np.testing.assert_array_equal(np.asarray(a.codes), np.asarray(s.codes))
         np.testing.assert_array_equal(np.asarray(a.lengths), np.asarray(s.lengths))
         assert int(stats.forwards) >= 1
+
+
+# --------------------------------------------------------------------------
+def test_per_row_greedy_identical_batched(setup):
+    """Per-row window advance (each batch row at its own column pointer, with
+    per-row KV write offsets): still token-identical to the AR loop per row,
+    including rows that finish early and freeze."""
+    model, params = setup
+    ar = make_generate(model, _gen_cfg(do_sample=False))
+    for mnt, seed in ((4, 2), (0, 9)):
+        gen = _gen_cfg(do_sample=False, min_new_tokens=mnt)
+        ar = make_generate(model, gen)
+        sp = make_generate_speculative(model, gen, window=3, per_row=True)
+        inp = _inputs(b=3, seed=seed)
+        a = ar(params, *inp, jax.random.key(0))
+        s, stats = sp(params, *inp, jax.random.key(0))
+        np.testing.assert_array_equal(np.asarray(a.codes), np.asarray(s.codes))
+        np.testing.assert_array_equal(
+            np.asarray(a.lengths), np.asarray(s.lengths)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(a.delayed_ids), np.asarray(s.delayed_ids)
+        )
+        assert int(stats.forwards) >= 1
+
+
+def test_per_row_greedy_voice_steering(setup):
+    model, params = setup
+    gen = _gen_cfg(do_sample=False, min_new_tokens=2)
+    ar = make_generate(model, gen)
+    sp = make_generate_speculative(model, gen, window=4, per_row=True)
+    inp = _inputs(b=2, seed=5, left_pad=1)
+    codes0 = jnp.asarray(
+        np.random.default_rng(1).integers(0, PAD, size=(2, 3, 3)), jnp.int32
+    )
+    a = ar(params, *inp, jax.random.key(0), codes0)
+    s, _ = sp(params, *inp, jax.random.key(0), codes0)
+    np.testing.assert_array_equal(np.asarray(a.codes), np.asarray(s.codes))
+    np.testing.assert_array_equal(np.asarray(a.lengths), np.asarray(s.lengths))
+
+
+def test_per_row_acceptance_beats_shared_horizon(setup):
+    """The point of per-row advance: at B > 1 the per-row accepted-columns
+    rate stays at the B=1 rate instead of decaying to the batch minimum."""
+    model, params = setup
+    gen = _gen_cfg(max_length=20, min_new_tokens=3, do_sample=True)
+    b = 6
+    inp1 = _inputs(b=1, seed=3)
+    rep = lambda x: jnp.repeat(x, b, axis=0)  # noqa: E731
+    inp = tuple(rep(x) for x in inp1)
+
+    sp1 = make_generate_speculative(model, gen, window=4)
+    _, st1 = sp1(params, *inp1, jax.random.key(11))
+    rate_b1 = int(st1.columns) / max(1, int(st1.forwards))
+
+    sh = make_generate_speculative(model, gen, window=4)
+    _, st_sh = sh(params, *inp, jax.random.key(12))
+    rate_shared = int(st_sh.columns) / max(1, int(st_sh.forwards))
+
+    pr = make_generate_speculative(model, gen, window=4, per_row=True)
+    out_pr, st_pr = pr(params, *inp, jax.random.key(13))
+    # per-row stats: columns is summed over rows
+    rate_pr = int(st_pr.columns) / max(1, int(st_pr.forwards)) / b
+
+    assert rate_pr > rate_shared + 0.2, (rate_pr, rate_shared, rate_b1)
+    # and close to the B=1 rate (same inputs replicated; sampling noise only)
+    assert rate_pr > 0.6 * rate_b1, (rate_pr, rate_b1)
+
+
+def test_per_row_sampled_distribution_preserved(setup):
+    """Marginal distributions under per-row advance match AR sampling."""
+    model, params = setup
+    gen = _gen_cfg(max_length=12, min_new_tokens=3, do_sample=True)
+    ar = make_generate(model, gen)
+    sp = make_generate_speculative(model, gen, window=4, per_row=True)
+    b = 512
+    d, dm, p, pm = _inputs(seed=3)
+    rep = lambda x: jnp.repeat(x, b, axis=0)  # noqa: E731
+    inp = (rep(d), rep(dm), rep(p), rep(pm))
+    v = CFG.decoder.vocab_size
+
+    a1 = np.asarray(ar(params, *inp, jax.random.key(11)).delayed_ids)
+    a2 = np.asarray(ar(params, *inp, jax.random.key(12)).delayed_ids)
+    s1 = np.asarray(sp(params, *inp, jax.random.key(13))[0].delayed_ids)
+
+    m_a1, m_a2, m_s = _marginals(a1, v), _marginals(a2, v), _marginals(s1, v)
+    tv_noise = 0.5 * np.abs(m_a1 - m_a2).sum(-1)
+    tv_spec = 0.5 * np.abs(m_a1 - m_s).sum(-1)
+    bound = tv_noise.mean() + 3.0 * np.sqrt(v / (4 * b))
+    assert tv_spec.mean() < bound, (tv_spec.mean(), tv_noise.mean(), bound)
+    assert tv_spec.max() < tv_noise.max() + 5 * np.sqrt(v / (4 * b))
