@@ -173,33 +173,62 @@ def main():
         _progress(f"speculation: {cols_per_fwd} accepted columns/forward")
 
     # ---- batched serving throughput (B=8): per-stream RTFx amortizes the
-    # weight streaming that bounds B=1 decode. Always the PLAIN loop —
-    # speculation's shared accept horizon degrades with batch (small-batch
-    # latency lever only).
-    _progress("batched (B=8) run")
+    # weight streaming that bounds B=1 decode. PER-ROW speculation (each row
+    # advances by its own accepted prefix, runtime/speculative.py) keeps the
+    # B=1 acceptance rate at batch size — the two throughput levers stack.
+    # BENCH_B8_MODE=plain restores the plain-loop batched number.
+    b8_spec = (
+        os.environ.get("BENCH_B8_MODE", "spec") == "spec"
+        and os.environ.get("BENCH_MODE", "spec") == "spec"
+    )
+    _progress(f"batched (B=8) run ({'per-row spec' if b8_spec else 'plain'})")
     b8 = 8
     desc8 = np.tile(desc, (b8, 1))
     prompt8 = np.tile(prompt, (b8, 1))
     m8d = np.ones((b8, desc.shape[1]), np.int32)
     m8p = np.ones((b8, prompt.shape[1]), np.int32)
 
+    if b8_spec:
+        from parler_tts_tpu.runtime.speculative import make_generate_speculative
+
+        w_b8 = int(os.environ.get("BENCH_SPEC_WINDOW_B8", "16"))
+        fn_b8 = make_generate_speculative(
+            pipe.model, pipe.generation_config, window=w_b8, per_row=True
+        )
+    else:
+        fn_b8 = None
+
     def gen_b8(seed):
         import jax as _jax
         import jax.numpy as _jnp
 
-        return pipe._generate_fn(
+        args = (
             pipe.params, _jnp.asarray(desc8), _jnp.asarray(m8d),
             _jnp.asarray(prompt8), _jnp.asarray(m8p), _jax.random.key(seed),
         )
+        if fn_b8 is not None:
+            return fn_b8(*args)
+        return pipe._generate_fn(*args)
 
     out = gen_b8(0)
+    out = out[0] if b8_spec else out
     np.asarray(out.codes)  # compile
     t0 = time.perf_counter()
     out = gen_b8(1)
+    stats_b8 = None
+    if b8_spec:
+        out, stats_b8 = out
     np.asarray(out.codes)
     batched_wall = time.perf_counter() - t0
     rtfx_b8 = audio_seconds * b8 / batched_wall
-    _progress(f"B=8: {batched_wall:.3f}s -> {rtfx_b8:.1f}x aggregate")
+    cols_per_fwd_b8 = (
+        round(int(stats_b8.columns) / max(1, int(stats_b8.forwards)) / b8, 2)
+        if stats_b8 is not None else None
+    )
+    _progress(
+        f"B=8: {batched_wall:.3f}s -> {rtfx_b8:.1f}x aggregate"
+        + (f" ({cols_per_fwd_b8} cols/fwd/row)" if cols_per_fwd_b8 else "")
+    )
 
     # ---- TTFA via streaming (prefill + first chunk + decode), warmed
     _progress("measuring TTFA (stream path compiles on first pass)")
@@ -226,6 +255,7 @@ def main():
         "audio_s": round(audio_seconds, 2),
         "gen_steps": int(np.median(gen_steps)),
         "rtfx_batch8": round(rtfx_b8, 1),
+        "cols_per_fwd_b8": cols_per_fwd_b8,
         "spec_window": int(os.environ.get("BENCH_SPEC_WINDOW", "24"))
         if os.environ.get("BENCH_MODE", "spec") == "spec" else 0,
         "cols_per_fwd": cols_per_fwd,

@@ -189,6 +189,7 @@ class ParlerTTSPipeline:
         fused_decode: bool = False,
         fused_qkv: bool = False,
         speculative_window: Optional[int] = None,
+        speculative_per_row: bool = False,
         codec_dtype: Any = None,
     ):
         from ..utils.compile_cache import enable_compilation_cache
@@ -256,8 +257,12 @@ class ParlerTTSPipeline:
             )
             from .speculative import make_generate_speculative
 
+            # per_row: each batch row advances by its OWN accepted prefix
+            # (runtime/speculative.py) — keeps the B=1 acceptance rate at any
+            # batch size, the batched-serving configuration.
             self._generate_spec_fn = make_generate_speculative(
-                model, self.generation_config, window=speculative_window
+                model, self.generation_config, window=speculative_window,
+                per_row=speculative_per_row,
             )
         self._stream_fns = None
         # opt-in serving mode: run the DAC decode conv stack in a reduced

@@ -301,6 +301,17 @@ def test_pipeline_speculative_route(setup):
     assert spec.last_spec_stats is not None
     assert int(spec.last_spec_stats.forwards) >= 1
 
+    # per-row batched-serving route: same wiring, still greedy-identical
+    pr = ParlerTTSPipeline(
+        model, params, dac, dac_params, gen,
+        speculative_window=4, speculative_per_row=True,
+    )
+    d2, dm2, p2, pm2 = _inputs(seed=6, b=3)
+    a2 = plain.generate_codes(d2, dm2, p2, pm2, seed=0)
+    s2 = pr.generate_codes(d2, dm2, p2, pm2, seed=0)
+    np.testing.assert_array_equal(np.asarray(a2.codes), np.asarray(s2.codes))
+    assert pr.last_spec_stats is not None
+
 
 # --------------------------------------------------------------------------
 def test_spec_stream_greedy_token_identical(setup):
