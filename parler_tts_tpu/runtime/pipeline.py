@@ -250,6 +250,7 @@ class ParlerTTSPipeline:
         # the last call land in `self.last_spec_stats`.
         self._generate_spec_fn = None
         self._spec_window = speculative_window
+        self._spec_per_row = speculative_per_row
         self.last_spec_stats = None
         if speculative_window is not None:
             assert not fused_decode, (
@@ -541,7 +542,8 @@ class ParlerTTSPipeline:
                 from .speculative import make_stream_functions_speculative
 
                 self._stream_fns = make_stream_functions_speculative(
-                    self.model, self.generation_config, window=self._spec_window
+                    self.model, self.generation_config,
+                    window=self._spec_window, per_row=self._spec_per_row,
                 )
             else:
                 self._stream_fns = make_stream_functions(
@@ -597,10 +599,11 @@ class ParlerTTSPipeline:
         )
         max_len = self.generation_config.max_length
         to_yield = 0
-        t_start = int(state.t)
+        t_start = int(np.max(np.asarray(state.t)))
         while True:
             state = step_fn(self.params, state, play_steps)
-            t_raw = int(state.t)
+            # max(): a per-row speculative pipeline carries a (1,) pointer here
+            t_raw = int(np.max(np.asarray(state.t)))
             done = t_raw >= max_len or bool(jnp.all(state.eos.eos_seen))
             # speculative chunk steps overshoot by up to window-1 columns;
             # clamp the VISIBLE column count to the play_steps grid so flush
@@ -671,6 +674,12 @@ class ParlerTTSPipeline:
         single-stream decode. `decoder_prompt_codes` (B, K, T0) steers each
         stream's voice exactly as in `stream`/`generate_codes`.
 
+        With `speculative_window` + `speculative_per_row=True` every stream
+        advances by its own accepted prefix each forward; flushes are gated on
+        the slowest active stream (min-of-sums beats the shared horizon's
+        sum-of-mins), and faster streams buffer finalized columns that surface
+        as the gate advances.
+
         Yields `(chunk, valid)` pairs on a uniform sample grid: `chunk` is
         (B, S) waveform and `valid[i]` counts how many of this chunk's S
         samples are real for stream i (0 after stream i finished; trailing
@@ -696,31 +705,65 @@ class ParlerTTSPipeline:
             else None,
         )
         max_len = self.generation_config.max_length
+        gen_pad = self.generation_config.pad_token_id
         to_yield = 0
-        t_start = int(state.t)
+        t_start = int(np.min(np.asarray(state.t)))
         while True:
             state = step_fn(self.params, state, play_steps)
-            t_raw = int(state.t)
-            done = t_raw >= max_len or bool(jnp.all(state.eos.eos_seen))
-            # same visible-column clamping as `stream` (speculative overshoot)
-            t = t_raw if done else (
-                t_start + (t_raw - t_start) // play_steps * play_steps
-            )
+            t_arr = np.asarray(state.t)
+            per_row = t_arr.ndim == 1  # per-row speculation: (B,) pointers
+            if per_row:
+                eos_rows = np.asarray(jnp.all(state.eos.eos_seen, axis=1))
+                row_done = (t_arr >= max_len) | eos_rows
+                done = bool(row_done.all())
+                # visible-column clamp to the play_steps grid, per row
+                t_vis = np.where(
+                    row_done, t_arr,
+                    t_start + (t_arr - t_start) // play_steps * play_steps,
+                )
+                t = int(t_vis.max())
+            else:
+                t_raw = int(t_arr)
+                done = t_raw >= max_len or bool(jnp.all(state.eos.eos_seen))
+                # same visible-column clamping as `stream` (spec overshoot)
+                t = t_raw if done else (
+                    t_start + (t_raw - t_start) // play_steps * play_steps
+                )
             if t <= dcfg.num_codebooks:
                 if done:
                     return
                 continue
-            codes = undelay_pattern(state.out_ids[:, :, :t], dcfg.num_codebooks)
+            out_cols = state.out_ids[:, :, :t]
+            if per_row:
+                # a row's columns beyond its OWN pointer hold unverified
+                # window candidates — restore the pattern tail (PAD) there,
+                # exactly as the offline finalizer does, before un-delaying
+                pat = state.pattern_ext[:, :, :t]
+                tail = jnp.where(pat == -1, gen_pad, pat)
+                cols = jnp.arange(t)[None, None, :]
+                out_cols = jnp.where(
+                    cols >= jnp.asarray(t_vis)[:, None, None], tail, out_cols
+                )
+            codes = undelay_pattern(out_cols, dcfg.num_codebooks)
             lengths = np.asarray(valid_frame_lengths(codes, dcfg.pad_token_id))
             n_max = int(lengths.max())
             if n_max == 0:
                 if done:
                     return
                 continue
+            # flush gate: emitted samples must be final for every stream, so
+            # the slowest ACTIVE row bounds the frontier (finished rows don't
+            # gate; faster rows' buffered columns surface as the gate moves)
+            if per_row and not done and (~row_done).any():
+                n_emit = int(lengths[~row_done].min())
+                if n_emit == 0:
+                    continue
+            else:
+                n_emit = n_max
             audio, base = self._decode_stream_window(
-                codes, n_max, to_yield, play_steps, incremental, context_frames
+                codes, n_emit, to_yield, play_steps, incremental, context_frames
             )
-            total = base + audio.shape[1]  # == n_max * hop
+            total = base + audio.shape[1]  # == n_emit * hop
             upper = total if done else max(total - stride, to_yield)
             if upper > to_yield:
                 width = upper - to_yield

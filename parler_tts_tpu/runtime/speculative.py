@@ -756,6 +756,7 @@ def make_stream_functions_speculative(
     gen: GenerationConfig,
     window: int = 8,
     cache_dtype=jnp.bfloat16,
+    per_row: bool = False,
 ):
     """(prefill_fn, step_chunk_fn) for SPECULATIVE streaming.
 
@@ -766,11 +767,21 @@ def make_stream_functions_speculative(
     the flush may overshoot by up to window-1 columns (the host sample-grid
     bookkeeping is oblivious to chunk-size jitter).
 
+    With `per_row=True` (batched streaming) every row advances by its OWN
+    accepted prefix: `state.t` is (B,), a chunk step runs forwards until
+    every active row has reached ITS target, and the host gates each flush on
+    the slowest active row. The slowest-row pointer after f forwards is
+    min_i(sum_f n_i) >= sum_f(min_i n_i) — per-row advance dominates the
+    shared horizon for every batch, and faster rows buffer finalized columns
+    that surface as soon as the gate catches up. Rows' columns beyond their
+    own pointer hold unverified window candidates — the host must mask them
+    (pipeline.stream_batch restores the pattern tail before un-delaying).
+
     Greedy streamed tokens are identical to the offline AR loop
     (tests/test_speculative.py).
     """
     max_len = gen.max_length
-    spec_step = _make_spec_step(model, gen, window)
+    spec_step = _make_spec_step(model, gen, window, per_row=per_row)
 
     @jax.jit
     def prefill_fn(params, desc_ids, desc_mask, prompt_ids, prompt_mask, rng,
@@ -778,16 +789,22 @@ def make_stream_functions_speculative(
         state, _ = _init_spec_state(
             model, gen, {"params": params}, desc_ids, desc_mask, prompt_ids,
             prompt_mask, rng, decoder_prompt_codes, cache_dtype, window,
+            per_row=per_row,
         )
         return state
 
     @functools.partial(jax.jit, static_argnames=("n_steps",))
     def step_chunk_fn(params, state: SpecState, n_steps: int):
         variables = {"params": params}
-        t_target = jnp.minimum(state.t + n_steps, max_len)
+        t_target = jnp.minimum(state.t + n_steps, max_len)  # scalar or (B,)
 
-        def cond(s: SpecState):
-            return (s.t < t_target) & ~jnp.all(s.eos.eos_seen)
+        if per_row:
+            def cond(s: SpecState):
+                lagging = (s.t < t_target) & ~jnp.all(s.eos.eos_seen, axis=1)
+                return jnp.any(lagging)
+        else:
+            def cond(s: SpecState):
+                return (s.t < t_target) & ~jnp.all(s.eos.eos_seen)
 
         return jax.lax.while_loop(
             cond, lambda s: spec_step(variables, s), state

@@ -439,6 +439,41 @@ def test_stream_batch_voice_steering_matches_single_stream(pipe):
             np.testing.assert_allclose(chunk[i], ref_chunk[0], atol=1e-3)
 
 
+def test_stream_batch_per_row_speculative(pipe):
+    """Per-row speculative batched streaming: flushes gate on the slowest
+    active stream, faster rows buffer finalized columns, unverified candidate
+    tails are masked before un-delaying. Tokens are the streaming invariant
+    (waveform values near moving decode-window edges are approximate by
+    design): per-row total valid samples must equal the offline lengths
+    exactly, and a single-flush run must match plain batched streaming
+    bit-for-bit (identical decode windows)."""
+    desc, dm, prompt, pm = _ids(seed=6, b=2)
+    _, lengths = pipe.generate(desc, prompt, desc_mask=dm, prompt_mask=pm,
+                               seed=21)
+    spec = ParlerTTSPipeline(
+        pipe.model, pipe.params, pipe.dac, pipe.dac_params, GEN,
+        frame_bucket=8, speculative_window=3, speculative_per_row=True,
+    )
+
+    # chunked: exact per-row sample accounting against the offline lengths
+    got = np.zeros(2, np.int64)
+    for chunk, valid in spec.stream_batch(desc, dm, prompt, pm, play_steps=6,
+                                          seed=21):
+        assert chunk.shape[0] == 2 and valid.shape == (2,)
+        assert (valid >= 0).all() and (valid <= chunk.shape[1]).all()
+        got += valid
+    np.testing.assert_array_equal(got, np.asarray(lengths, np.int64))
+    assert got.sum() > 0
+
+    # single flush (play_steps >= max_length): the one decode window is
+    # identical to plain batched streaming, so audio must match exactly
+    ref = list(pipe.stream_batch(desc, dm, prompt, pm, play_steps=32, seed=21))
+    pr = list(spec.stream_batch(desc, dm, prompt, pm, play_steps=32, seed=21))
+    assert len(ref) == len(pr) == 1
+    np.testing.assert_array_equal(ref[0][1], pr[0][1])
+    np.testing.assert_array_equal(ref[0][0], pr[0][0])
+
+
 def test_codec_dtype_bf16_pipeline(pipe):
     """`codec_dtype=bf16` serving mode: same wiring, audio close to the fp32
     pipeline's output (greedy: identical codes, only the codec decode dtype

@@ -526,6 +526,48 @@ def test_per_row_acceptance_beats_shared_horizon(setup):
     assert rate_pr > 0.6 * rate_b1, (rate_pr, rate_b1)
 
 
+def test_per_row_stream_token_prefix_identical(setup):
+    """Per-row speculative STREAMING state machine: after every chunk step,
+    each row's finalized prefix out_ids[i, :, :t_i] must equal the offline AR
+    greedy tokens (columns beyond t_i hold unverified candidates and are
+    excluded), and every active row advances by >= n_steps per chunk call."""
+    from parler_tts_tpu.runtime.speculative import (
+        make_stream_functions_speculative,
+    )
+
+    model, params = setup
+    gen = _gen_cfg(do_sample=False, min_new_tokens=2)
+    ar = make_generate(model, gen)
+    inp = _inputs(seed=9, b=3)
+    off = np.asarray(ar(params, *inp, jax.random.key(3)).delayed_ids)
+
+    prefill_fn, step_fn = make_stream_functions_speculative(
+        model, gen, window=4, per_row=True
+    )
+    state = prefill_fn(params, *inp, jax.random.key(3))
+    assert np.asarray(state.t).shape == (3,)
+    for _ in range(32):
+        t_prev = np.asarray(state.t)
+        eos_prev = np.asarray(jnp.all(state.eos.eos_seen, axis=1))
+        if bool(((t_prev >= gen.max_length) | eos_prev).all()):
+            break
+        state = step_fn(params, state, 5)
+        t_now = np.asarray(state.t)
+        eos_now = np.asarray(jnp.all(state.eos.eos_seen, axis=1))
+        # each previously-active row reached its target or finished
+        active = ~eos_prev & (t_prev < gen.max_length)
+        ok = (t_now >= np.minimum(t_prev + 5, gen.max_length)) | eos_now
+        assert ok[active].all(), (t_prev, t_now, eos_now)
+        # frozen rows never move
+        assert (t_now[~active] == t_prev[~active]).all()
+        out = np.asarray(state.out_ids)
+        for i in range(3):
+            ti = int(t_now[i])
+            np.testing.assert_array_equal(out[i, :, :ti], off[i, :, :ti])
+    else:
+        raise AssertionError("stream did not finish")
+
+
 def test_per_row_sampled_distribution_preserved(setup):
     """Marginal distributions under per-row advance match AR sampling."""
     model, params = setup
