@@ -91,6 +91,14 @@ class TrainingArguments:
     per_device_train_batch_size: int = 6
     per_device_eval_batch_size: int = 6
     gradient_accumulation_steps: int = 4
+    # "batch": the G accumulation micro-batches feed ONE fused pjit step
+    #   (G multiplies the per-step batch; fastest whenever it fits — see the
+    #   run_training module note). "microbatch": reference memory semantics
+    #   (run_parler_tts_training.py:1039-1046) — a lax.scan runs G sequential
+    #   forward+backward passes accumulating fp32 gradients, so peak
+    #   activation memory is one micro-batch's. Gradients are identical
+    #   either way (global valid-token normalization).
+    gradient_accumulation_mode: str = "batch"
     learning_rate: float = 9.5e-4
     adam_beta1: float = 0.9
     adam_beta2: float = 0.99

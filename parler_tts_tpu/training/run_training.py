@@ -11,10 +11,15 @@ TPU-native re-design of `/root/reference/training/run_parler_tts_training.py:73-
 
 Grad accumulation note: the reference accumulates G micro-batches with
 `no_sync` (run_parler_tts_training.py:1039-1046) because DDP steps are
-latency-bound; on TPU the same global batch simply feeds one pjit step (batch
-sharded over 'data'), which is strictly faster — `gradient_accumulation_steps`
-here multiplies the per-step batch instead. The loss normalization is identical
-either way because it divides by the global valid-token count.
+latency-bound; on TPU the same global batch can simply feed one pjit step
+(batch sharded over 'data'), which is faster whenever the fused step fits —
+the default `gradient_accumulation_mode="batch"` multiplies the per-step
+batch. When the G-fold batch does NOT fit (the reason accumulation exists),
+`gradient_accumulation_mode="microbatch"` restores the reference's memory
+semantics: a lax.scan of G sequential forward+backward passes accumulating
+fp32 gradients (train_state.make_train_step(microbatch_steps=G)). The loss
+normalization — and therefore the gradient — is identical either way because
+it divides by the global valid-token count.
 """
 
 from __future__ import annotations
@@ -185,6 +190,12 @@ def run_training(
             "(expected 'full' or 'dots')"
         )
     remat_policy = None if training_args.remat_policy == "full" else "dots"
+    if training_args.gradient_accumulation_mode not in ("batch", "microbatch"):
+        raise ValueError(
+            "unknown gradient_accumulation_mode "
+            f"{training_args.gradient_accumulation_mode!r} "
+            "(expected 'batch' or 'microbatch')"
+        )
     if max_t >= 512 and not (model.use_chunked_attention and model.remat_layers):
         logger.info("enabling chunked attention + per-layer remat for T=%d", max_t)
         model = model.clone(
@@ -263,7 +274,12 @@ def run_training(
     if mesh is not None:
         state = shard_train_state(state, mesh, fsdp=training_args.fsdp)
     step_fn = make_train_step(
-        model, tx, mesh=mesh, loss_chunk_size=training_args.loss_chunk_size
+        model, tx, mesh=mesh, loss_chunk_size=training_args.loss_chunk_size,
+        microbatch_steps=(
+            training_args.gradient_accumulation_steps
+            if training_args.gradient_accumulation_mode == "microbatch"
+            else None
+        ),
     )
 
     collator = DataCollatorParlerTTSWithPadding(

@@ -112,17 +112,30 @@ def make_train_step(
     tx: optax.GradientTransformation,
     mesh=None,
     loss_chunk_size: Optional[int] = None,
+    microbatch_steps: Optional[int] = None,
 ) -> Callable[[TrainState, Batch, jax.Array], Tuple[TrainState, dict]]:
     """Build the jitted (optionally mesh-sharded) train step.
 
     `loss_chunk_size`: fuse LM heads + CE chunk-by-chunk over T instead of
     materializing (B, K, T, V) logits — the loss tensor is the single largest
     allocation of the long-T step (see training/README.md fit table).
+
+    `microbatch_steps=G`: TRUE gradient accumulation with the reference's
+    memory semantics (`run_parler_tts_training.py:1039-1046` accumulates G
+    micro-batches under `no_sync`): the (B, ...) batch is split into G
+    micro-batches and a `lax.scan` runs forward+backward per micro-batch,
+    accumulating fp32 gradient sums — peak activation memory is ONE
+    micro-batch's, at the cost of G sequential passes. Gradients equal the
+    full-batch step exactly (up to fp32 summation order) because both divide
+    the same raw loss-gradient sum by the same GLOBAL valid-token count
+    (reference :916-918, :1034-1036); dropout draws a fresh fold of the step
+    rng per micro-batch, exactly like G separate reference micro-steps.
+    `None`/1 keeps the default single fused pass (faster whenever it fits).
     """
     cfg: ParlerTTSConfig = model.config
     dcfg = cfg.decoder
 
-    def loss_fn(params, batch: Batch, dropout_rng):
+    def raw_loss_fn(params, batch: Batch, dropout_rng):
         out, dec_input_ids = model.apply(
             {"params": params},
             batch.input_ids,
@@ -135,7 +148,7 @@ def make_train_step(
             rngs={"dropout": dropout_rng},
         )
         if loss_chunk_size is not None:
-            sum_loss, num_items, per_cb_mean, _ = (
+            sum_loss, num_items, per_cb_mean, per_cb_count = (
                 chunked_per_codebook_cross_entropy(
                     out,
                     params["decoder"]["lm_heads"],
@@ -149,31 +162,36 @@ def make_train_step(
                 )
             )
         else:
-            sum_loss, num_items, per_cb_mean, _ = per_codebook_cross_entropy(
-                out,
-                batch.labels,
-                dec_input_ids,
-                bos_token_id=dcfg.bos_token_id,
-                eos_token_id=dcfg.eos_token_id,
-                codebook_weights=dcfg.codebook_weights,
+            sum_loss, num_items, per_cb_mean, per_cb_count = (
+                per_codebook_cross_entropy(
+                    out,
+                    batch.labels,
+                    dec_input_ids,
+                    bos_token_id=dcfg.bos_token_id,
+                    eos_token_id=dcfg.eos_token_id,
+                    codebook_weights=dcfg.codebook_weights,
+                )
             )
-        # Reference sum-reduction divides by num_codebooks (modeling:1955-1957)
-        # then normalizes by the GLOBAL valid-token count (training:916-918).
+        # Reference sum-reduction divides by num_codebooks (modeling:1955-1957);
+        # the GLOBAL valid-token normalization (training:916-918) is applied by
+        # the caller so micro-batch gradients can be summed BEFORE dividing.
         # Under pjit the batch is sharded over 'data'; XLA turns these
         # reductions into cross-device psums automatically.
-        loss = sum_loss / dcfg.num_codebooks / jnp.maximum(num_items, 1.0)
-        return loss, (per_cb_mean, num_items)
+        return (
+            sum_loss / dcfg.num_codebooks,
+            (per_cb_mean, per_cb_count, num_items),
+        )
 
-    def train_step(state: TrainState, batch: Batch, dropout_rng: jax.Array):
-        (loss, (per_cb, num_items)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(state.params, batch, dropout_rng)
+    def loss_fn(params, batch: Batch, dropout_rng):
+        raw, (per_cb_mean, _, num_items) = raw_loss_fn(params, batch, dropout_rng)
+        return raw / jnp.maximum(num_items, 1.0), (per_cb_mean, num_items)
+
+    def apply_grads(state: TrainState, grads, loss, num_items, per_cb):
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
-        grad_norm = optax.global_norm(grads)
         metrics = {
             "loss": loss,
-            "grad_norm": grad_norm,
+            "grad_norm": optax.global_norm(grads),
             "num_items": num_items,
             "per_codebook_loss": per_cb,
         }
@@ -181,6 +199,60 @@ def make_train_step(
             TrainState(step=state.step + 1, params=new_params, opt_state=new_opt),
             metrics,
         )
+
+    def train_step(state: TrainState, batch: Batch, dropout_rng: jax.Array):
+        (loss, (per_cb, num_items)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params, batch, dropout_rng)
+        return apply_grads(state, grads, loss, num_items, per_cb)
+
+    def train_step_micro(state: TrainState, batch: Batch, dropout_rng: jax.Array):
+        g = microbatch_steps
+        if batch.input_ids.shape[0] % g:
+            raise ValueError(
+                f"batch rows {batch.input_ids.shape[0]} not divisible by "
+                f"microbatch_steps={g}"
+            )
+        micro = Batch(
+            *(x.reshape((g, x.shape[0] // g) + x.shape[1:]) for x in batch)
+        )
+        rngs = jax.random.split(dropout_rng, g)
+        params = state.params
+        k = dcfg.num_codebooks
+        carry0 = (
+            jax.tree.map(lambda p: jnp.zeros(p.shape, jnp.float32), params),
+            jnp.zeros((), jnp.float32),   # raw loss sum
+            jnp.zeros((), jnp.float32),   # valid-token count
+            jnp.zeros((k,), jnp.float32),  # per-codebook NLL sum
+            jnp.zeros((k,), jnp.float32),  # per-codebook token count
+        )
+
+        def body(carry, xs):
+            g_acc, sl, items, cb_sum, cb_cnt = carry
+            mb, r = xs
+            (raw, (cb_mean, cb_c, n)), grads = jax.value_and_grad(
+                raw_loss_fn, has_aux=True
+            )(params, mb, r)
+            g_acc = jax.tree.map(
+                lambda a, b: a + b.astype(jnp.float32), g_acc, grads
+            )
+            return (
+                g_acc, sl + raw, items + n, cb_sum + cb_mean * cb_c,
+                cb_cnt + cb_c,
+            ), None
+
+        (g_acc, sl, items, cb_sum, cb_cnt), _ = jax.lax.scan(
+            body, carry0, (micro, rngs)
+        )
+        denom = jnp.maximum(items, 1.0)
+        grads = jax.tree.map(
+            lambda gr, p: (gr / denom).astype(p.dtype), g_acc, params
+        )
+        per_cb = cb_sum / jnp.maximum(cb_cnt, 1.0)
+        return apply_grads(state, grads, sl / denom, items, per_cb)
+
+    if microbatch_steps is not None and microbatch_steps > 1:
+        train_step = train_step_micro
 
     if mesh is None:
         return jax.jit(train_step, donate_argnums=(0,))

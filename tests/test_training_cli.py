@@ -126,7 +126,10 @@ def test_cli_end_to_end(tmp_path, monkeypatch):
         "output_dir": str(out_dir),
         "per_device_train_batch_size": 1,
         "per_device_eval_batch_size": 1,
-        "gradient_accumulation_steps": 1,
+        # exercise the reference-memory-semantics accumulation path end to
+        # end: 2 micro-batches per optimizer step via the lax.scan step
+        "gradient_accumulation_steps": 2,
+        "gradient_accumulation_mode": "microbatch",
         "learning_rate": 1e-3,
         "warmup_steps": 1,
         "max_steps": 2,

@@ -185,6 +185,97 @@ def test_fsdp_sharded_train_step_matches_single_device():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)
 
 
+def _dropout_free(cfg):
+    import dataclasses
+
+    return dataclasses.replace(
+        cfg, decoder=dataclasses.replace(cfg.decoder, dropout=0.0)
+    )
+
+
+def test_microbatch_accumulation_matches_full_batch():
+    """make_train_step(microbatch_steps=G) reproduces the fused full-batch
+    step exactly (dropout off, so the only difference is fp32 summation
+    order): same loss/num_items/per-codebook metrics and same updated params.
+    This is the reference's grad-accumulation-correct normalization
+    (run_parler_tts_training.py:916-918, 1034-1046) — micro-batch gradient
+    SUMS divide by the GLOBAL valid-token count, not per-micro-batch counts."""
+    model = ParlerTTS(_dropout_free(tiny_config()))
+    tx = make_optimizer(learning_rate=1e-3, warmup_steps=2, freeze_text_encoder=True)
+    batch = make_batch(b=8, seed=11)
+    rng = jax.random.key(13)
+
+    state1 = init_state(model, tx, seed=5)
+    state2 = init_state(model, tx, seed=5)
+    full = make_train_step(model, tx)
+    micro = make_train_step(model, tx, microbatch_steps=4)
+
+    for i in range(3):
+        rng, r = jax.random.split(rng)
+        state1, m1 = full(state1, batch, r)
+        state2, m2 = micro(state2, batch, r)
+        np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
+        np.testing.assert_allclose(
+            float(m1["grad_norm"]), float(m2["grad_norm"]), rtol=1e-4
+        )
+        assert int(m1["num_items"]) == int(m2["num_items"])
+        np.testing.assert_allclose(
+            np.asarray(m1["per_codebook_loss"]),
+            np.asarray(m2["per_codebook_loss"]),
+            rtol=1e-5,
+        )
+    for a, b in zip(jax.tree.leaves(state1.params), jax.tree.leaves(state2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6)
+    assert int(state2.step) == 3
+
+
+def test_microbatch_accumulation_composes_with_chunked_loss_and_mesh():
+    """microbatch_steps x loss_chunk_size x DP mesh: the scan's micro-batches
+    stay 'data'-sharded and the psum'd global normalization still matches the
+    single-device fused step."""
+    assert len(jax.devices()) == 8
+    model = ParlerTTS(_dropout_free(tiny_config()))
+    tx = make_optimizer(learning_rate=1e-3, warmup_steps=2, freeze_text_encoder=False)
+
+    state1 = init_state(model, tx, seed=6)
+    step1 = make_train_step(model, tx)
+
+    mesh = make_mesh(n_model=1)
+    state2 = shard_train_state(init_state(model, tx, seed=6), mesh)
+    step2 = make_train_step(
+        model, tx, mesh=mesh, loss_chunk_size=5, microbatch_steps=2
+    )
+
+    batch = make_batch(b=16, seed=12)
+    rng = jax.random.key(14)
+    for i in range(2):
+        rng, r = jax.random.split(rng)
+        state1, m1 = step1(state1, batch, r)
+        state2, m2 = step2(state2, batch, r)
+        np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=2e-4)
+        assert int(m1["num_items"]) == int(m2["num_items"])
+    for a, b in zip(jax.tree.leaves(state1.params), jax.tree.leaves(state2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)
+
+
+def test_microbatch_dropout_draws_fresh_rng_per_microbatch():
+    """With dropout ON, the G micro-batches must not reuse one dropout
+    pattern: a micro step and a fused step diverge (different draws), but
+    both stay finite and train."""
+    model = ParlerTTS(tiny_config())  # decoder dropout 0.1
+    tx = make_optimizer(learning_rate=1e-3, warmup_steps=1, freeze_text_encoder=True)
+    state = init_state(model, tx, seed=8)
+    micro = make_train_step(model, tx, microbatch_steps=2)
+    batch = make_batch(b=8, seed=15)
+    state, m = micro(state, batch, jax.random.key(16))
+    assert np.isfinite(float(m["loss"]))
+    # not-divisible batch fails loudly at trace time
+    with pytest.raises(ValueError, match="not divisible"):
+        make_train_step(model, tx, microbatch_steps=3)(
+            state, batch, jax.random.key(17)
+        )
+
+
 @pytest.mark.parametrize("policy", [None, "dots"])
 def test_remat_policy_preserves_training_math(policy):
     """Per-layer remat (any policy) only trades memory for recompute — the
