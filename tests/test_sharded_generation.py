@@ -103,6 +103,42 @@ def test_tensor_parallel_speculative_decode_matches_single_device():
         assert int(stats.forwards) < int(stats.columns)
 
 
+def test_tensor_parallel_per_row_speculative_matches_single_device():
+    """Per-row speculation x TP: each batch row keeps its own column pointer
+    and KV write offset (a vmapped DUS scatter) while attention heads are
+    sharded over 'model' — the scatter must lower correctly on the sharded
+    cache. Greedy per-row speculative TP decode must be token-identical to
+    the single-device plain AR loop for every row."""
+    from parler_tts_tpu.runtime.speculative import make_generate_speculative
+
+    cfg = tiny_config()
+    model = ParlerTTS(cfg)
+    params = init_state(model, make_optimizer()).params
+    gen = GenerationConfig(
+        max_length=16, min_new_tokens=4, do_sample=False,
+        bos_token_id=BOS, pad_token_id=PAD, eos_token_id=PAD,
+    )
+    rng = np.random.default_rng(7)
+    b = 3
+    desc = rng.integers(0, 120, (b, 9)).astype(np.int32)
+    dm = np.ones((b, 9), np.int32)
+    prompt = rng.integers(0, 256, (b, 5)).astype(np.int32)
+    pm = np.ones((b, 5), np.int32)
+
+    single = make_generate(model, gen)(params, desc, dm, prompt, pm,
+                                       jax.random.key(8))
+
+    mesh = make_mesh(n_data=1, n_model=2, devices=jax.devices()[:2])
+    sharded = shard_params(params, mesh)
+    out, stats = make_generate_speculative(
+        model, gen, window=4, per_row=True, mesh=mesh
+    )(sharded, desc, dm, prompt, pm, jax.random.key(8))
+    np.testing.assert_array_equal(
+        np.asarray(out.delayed_ids), np.asarray(single.delayed_ids)
+    )
+    assert int(stats.forwards) < int(stats.columns)
+
+
 def test_tensor_parallel_b1_decode_matches_single_device():
     """Pure TP serving at B=1 — the large-model latency path (README: large-v1
     is 2.3B): decoder weights sharded over all 8 'model' devices, batch
