@@ -252,6 +252,11 @@ class ParlerTTSPipeline:
         self._spec_window = speculative_window
         self._spec_per_row = speculative_per_row
         self.last_spec_stats = None
+        if speculative_per_row and speculative_window is None:
+            raise ValueError(
+                "speculative_per_row=True requires speculative_window "
+                "(per-row advance is a property of the speculative decoder)"
+            )
         if speculative_window is not None:
             assert not fused_decode, (
                 "speculative_window and fused_decode are exclusive"
@@ -581,6 +586,13 @@ class ParlerTTSPipeline:
         """
         from ..ops.delay_pattern import undelay_pattern, valid_frame_lengths
 
+        if self._spec_per_row and np.shape(desc_ids)[0] > 1:
+            raise ValueError(
+                "stream() is the single-stream surface; with "
+                "speculative_per_row=True and B>1 use stream_batch(), which "
+                "gates flushes on the slowest active row and masks unverified "
+                "window candidates per row"
+            )
         prefill_fn, step_fn = self._ensure_stream_fns()
         dcfg = self.config.decoder
         hop = self.config.audio_encoder.hop_length
@@ -754,7 +766,7 @@ class ParlerTTSPipeline:
             # flush gate: emitted samples must be final for every stream, so
             # the slowest ACTIVE row bounds the frontier (finished rows don't
             # gate; faster rows' buffered columns surface as the gate moves)
-            if per_row and not done and (~row_done).any():
+            if per_row and not done:  # not done => some row is still active
                 n_emit = int(lengths[~row_done].min())
                 if n_emit == 0:
                     continue

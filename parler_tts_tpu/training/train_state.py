@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 import optax
 from flax import struct
-from jax.sharding import PartitionSpec as P  # noqa: F401 (P used in annotations)
+from jax.sharding import PartitionSpec as P
 
 from ..config import ParlerTTSConfig
 from ..models.parler import ParlerTTS
@@ -216,6 +216,14 @@ def make_train_step(
         micro = Batch(
             *(x.reshape((g, x.shape[0] // g) + x.shape[1:]) for x in batch)
         )
+        if mesh is not None:
+            # pin the intended layout: micro-step axis replicated, rows on
+            # 'data' — otherwise GSPMD may split the old 'data' axis across
+            # the new (G, B/G) pair and reshard every scan iteration
+            mb_sh = jax.sharding.NamedSharding(mesh, P(None, "data"))
+            micro = jax.tree.map(
+                lambda x: jax.lax.with_sharding_constraint(x, mb_sh), micro
+            )
         rngs = jax.random.split(dropout_rng, g)
         params = state.params
         k = dcfg.num_codebooks

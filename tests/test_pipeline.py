@@ -474,6 +474,24 @@ def test_stream_batch_per_row_speculative(pipe):
     np.testing.assert_array_equal(ref[0][0], pr[0][0])
 
 
+def test_per_row_config_guards(pipe):
+    """speculative_per_row without a window and stream() at B>1 with a
+    per-row pipeline both fail loudly (the latter would otherwise emit a
+    lagging row's unverified window candidates as audio)."""
+    with pytest.raises(ValueError, match="requires speculative_window"):
+        ParlerTTSPipeline(
+            pipe.model, pipe.params, pipe.dac, pipe.dac_params, GEN,
+            speculative_per_row=True,
+        )
+    spec = ParlerTTSPipeline(
+        pipe.model, pipe.params, pipe.dac, pipe.dac_params, GEN,
+        frame_bucket=8, speculative_window=3, speculative_per_row=True,
+    )
+    desc, dm, prompt, pm = _ids(seed=3, b=2)
+    with pytest.raises(ValueError, match="stream_batch"):
+        next(spec.stream(desc, dm, prompt, pm, play_steps=6))
+
+
 def test_codec_dtype_bf16_pipeline(pipe):
     """`codec_dtype=bf16` serving mode: same wiring, audio close to the fp32
     pipeline's output (greedy: identical codes, only the codec decode dtype
