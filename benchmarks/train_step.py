@@ -1,6 +1,6 @@
 """Training-step latency at recipe scale vs remat policy (single chip).
 
-Usage: python benchmarks/train_step.py [none|dots] [T] [B] [mu_dtype] [loss_chunk]
+Usage: python benchmarks/train_step.py [none|dots] [T] [B] [mu_dtype] [loss_chunk] [microbatch_G] [microbatch_G]
 
 The long-T recipe requires per-layer remat + chunked attention (see
 training/README.md: dense attention thrashes at 53.7 s/step, chunked runs
@@ -39,6 +39,12 @@ def main():
     if mu_dtype in ("none", "None", ""):
         mu_dtype = None
     loss_chunk = int(sys.argv[5]) if len(sys.argv) > 5 else None
+    micro_g = int(sys.argv[6]) if len(sys.argv) > 6 else None
+    if micro_g is not None and micro_g <= 1:
+        micro_g = None
+    micro_g = int(sys.argv[6]) if len(sys.argv) > 6 else None
+    if micro_g is not None and micro_g <= 1:
+        micro_g = None
 
     cfg = ParlerTTSConfig()  # mini-v1 geometry + flan-t5-large encoder
     model = ParlerTTS(
@@ -54,7 +60,9 @@ def main():
     )["params"]
     tx = make_optimizer(learning_rate=1e-4, warmup_steps=10, mu_dtype=mu_dtype)
     state = TrainState.create(params, tx)
-    step_fn = make_train_step(model, tx, loss_chunk_size=loss_chunk)
+    step_fn = make_train_step(
+        model, tx, loss_chunk_size=loss_chunk, microbatch_steps=micro_g
+    )
 
     rng = np.random.default_rng(0)
     k_cb = cfg.decoder.num_codebooks
@@ -68,7 +76,7 @@ def main():
             jnp.int32,
         ),
     )
-    print(f"policy={policy} T={t_len} B={b} mu={mu_dtype} loss_chunk={loss_chunk}",
+    print(f"policy={policy} T={t_len} B={b} mu={mu_dtype} loss_chunk={loss_chunk} microbatch={micro_g}",
           flush=True)
     t0 = time.perf_counter()
     state, m = step_fn(state, batch, jax.random.key(1))
