@@ -518,9 +518,12 @@ class ParlerTTSPipeline:
         desc_mask: Optional[np.ndarray] = None,
         prompt_mask: Optional[np.ndarray] = None,
         seed: int = 0,
+        decoder_prompt_codes: Optional[np.ndarray] = None,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Returns (waveform (B, samples), audio_lengths (B,)) — the reference's
-        `generate(...)` + `audios_length` outputs (modeling:3648-3653)."""
+        `generate(...)` + `audios_length` outputs (modeling:3648-3653).
+        `decoder_prompt_codes` (B, K, T0) steers the voice (the reference's
+        `input_values` audio prompt, modeling:2826-2843)."""
         if isinstance(description, str):
             description = [description]
         if isinstance(prompt, str):
@@ -533,7 +536,10 @@ class ParlerTTSPipeline:
             prompt_ids, prompt_mask = self._encode_text(prompt, left_pad=True)
         else:
             prompt_ids = prompt
-        out = self.generate_codes(desc_ids, desc_mask, prompt_ids, prompt_mask, seed)
+        out = self.generate_codes(
+            desc_ids, desc_mask, prompt_ids, prompt_mask, seed,
+            decoder_prompt_codes=decoder_prompt_codes,
+        )
         return self.decode_codes(out.codes, out.lengths)
 
     # --------------------------------------------------------------- streaming

@@ -473,6 +473,18 @@ def test_stream_batch_per_row_speculative(pipe):
     np.testing.assert_array_equal(ref[0][1], pr[0][1])
     np.testing.assert_array_equal(ref[0][0], pr[0][0])
 
+    # voice steering threads through per-row speculative streaming: exact
+    # per-row sample accounting vs the steered offline lengths
+    rng = np.random.default_rng(23)
+    voice = rng.integers(0, PAD, size=(2, 4, 3)).astype(np.int32)
+    _, vlen = pipe.generate(desc, prompt, desc_mask=dm, prompt_mask=pm,
+                            seed=21, decoder_prompt_codes=voice)
+    got_v = np.zeros(2, np.int64)
+    for chunk, valid in spec.stream_batch(desc, dm, prompt, pm, play_steps=6,
+                                          seed=21, decoder_prompt_codes=voice):
+        got_v += valid
+    np.testing.assert_array_equal(got_v, np.asarray(vlen, np.int64))
+
 
 def test_per_row_config_guards(pipe):
     """speculative_per_row without a window and stream() at B>1 with a
