@@ -143,8 +143,10 @@ class Attention(nn.Module):
     config: DecoderConfig
     num_kv_heads: int
     dtype: jnp.dtype = jnp.float32
-    use_flash_decode: bool = False       # opt-in Pallas kernel for T==1 decode
-    use_chunked_attention: bool = False  # O(T*chunk)-memory training attention
+    use_flash_decode: bool = False  # opt-in Pallas kernel for T==1 decode
+    # O(T*chunk)-memory training attention: False | True (online-softmax scan,
+    # ops/chunked_attention.py) | "pallas" (flash kernel, ops/pallas/flash_attention.py)
+    use_chunked_attention: Any = False
     weight_quant: Any = False            # int8 serving: False | True (pallas) | "xla"
     fused_qkv: bool = False              # serving: one q|k|v matmul per layer
 
@@ -283,11 +285,20 @@ class Attention(nn.Module):
                 q[:, 0], k.astype(q.dtype), v.astype(q.dtype), starts, limit
             )[:, None]
         elif self.use_chunked_attention and cache_kv is None and mask_1d is not None:
-            from ..ops.chunked_attention import chunked_attention
+            if self.use_chunked_attention == "pallas":
+                # Pallas flash attention (fwd + custom-VJP bwd): same contract
+                # as chunked_attention, scores never touch HBM
+                from ..ops.pallas.flash_attention import flash_attention
 
-            out = chunked_attention(
-                q, k.astype(q.dtype), v.astype(q.dtype), mask_1d, causal=True
-            )
+                out = flash_attention(
+                    q, k.astype(q.dtype), v.astype(q.dtype), mask_1d, causal=True
+                )
+            else:
+                from ..ops.chunked_attention import chunked_attention
+
+                out = chunked_attention(
+                    q, k.astype(q.dtype), v.astype(q.dtype), mask_1d, causal=True
+                )
         else:
             out = _gqa_attention(q, k.astype(q.dtype), v.astype(q.dtype), bias)
         return self.out_proj(out.reshape(b, t, -1)), cache_kv
@@ -315,7 +326,7 @@ class DecoderLayer(nn.Module):
     config: DecoderConfig
     dtype: jnp.dtype = jnp.float32
     use_flash_decode: bool = False
-    use_chunked_attention: bool = False
+    use_chunked_attention: Any = False  # False | True (chunked scan) | "pallas"
     weight_quant: Any = False  # False | True (pallas) | "xla"
     fused_qkv: bool = False
 
@@ -409,7 +420,7 @@ class ParlerDecoder(nn.Module):
     config: DecoderConfig
     dtype: jnp.dtype = jnp.float32
     use_flash_decode: bool = False
-    use_chunked_attention: bool = False
+    use_chunked_attention: Any = False  # False | True (chunked scan) | "pallas"
     weight_quant: Any = False  # False | True (pallas) | "xla"
     remat_layers: bool = False  # per-layer rematerialization for long-T training
     fused_qkv: bool = False
@@ -569,7 +580,7 @@ class ParlerForCausalLM(nn.Module):
     config: DecoderConfig
     dtype: jnp.dtype = jnp.float32
     use_flash_decode: bool = False
-    use_chunked_attention: bool = False
+    use_chunked_attention: Any = False  # False | True (chunked scan) | "pallas"
     weight_quant: Any = False  # False | True (pallas) | "xla"
     remat_layers: bool = False
     fused_qkv: bool = False

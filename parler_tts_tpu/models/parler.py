@@ -37,7 +37,7 @@ class ParlerTTS(nn.Module):
     config: ParlerTTSConfig
     dtype: jnp.dtype = jnp.float32
     use_flash_decode: bool = False
-    use_chunked_attention: bool = False  # O(T*chunk)-memory training attention
+    use_chunked_attention: Any = False  # False | True (chunked scan) | "pallas" flash kernel
     weight_quant: Any = False            # int8 serving: False | True (pallas) | "xla"
     remat_layers: bool = False           # per-layer remat for long-T training
     fused_qkv: bool = False              # serving: one q|k|v matmul per layer

@@ -122,6 +122,12 @@ class TrainingArguments:
     # store Adam's first moment in bf16 (halves optimizer HBM; JAX-native
     # analogue of the memory the reference recovers by keeping bf16 weights)
     adam_mu_dtype: Optional[str] = None
+    # long-T training attention implementation: "chunked" (online-softmax
+    # scan + jax.checkpoint, ops/chunked_attention.py) | "pallas_flash"
+    # (flash-attention fwd+bwd kernels, ops/pallas/flash_attention.py — the
+    # TPU-kernel analogue of the reference's flash_attn wheels,
+    # modeling_parler_tts.py:600-814)
+    attention_impl: str = "chunked"
     # per-layer remat policy once long-T auto-enables remat: "full" recomputes
     # every layer forward in the backward (min HBM); "dots" saves matmul
     # outputs and recomputes only elementwise work (measured ~4% faster at

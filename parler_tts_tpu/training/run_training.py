@@ -196,12 +196,26 @@ def run_training(
             f"{training_args.gradient_accumulation_mode!r} "
             "(expected 'batch' or 'microbatch')"
         )
+    if training_args.attention_impl not in ("chunked", "pallas_flash"):
+        raise ValueError(
+            f"unknown attention_impl {training_args.attention_impl!r} "
+            "(expected 'chunked' or 'pallas_flash')"
+        )
+    attn_impl = (
+        "pallas" if training_args.attention_impl == "pallas_flash" else True
+    )
     if max_t >= 512 and not (model.use_chunked_attention and model.remat_layers):
-        logger.info("enabling chunked attention + per-layer remat for T=%d", max_t)
+        logger.info(
+            "enabling %s attention + per-layer remat for T=%d",
+            training_args.attention_impl, max_t,
+        )
         model = model.clone(
-            use_chunked_attention=True, remat_layers=True,
+            use_chunked_attention=attn_impl, remat_layers=True,
             remat_policy=remat_policy,
         )
+    elif model.use_chunked_attention and model.use_chunked_attention != attn_impl:
+        logger.info("applying attention_impl=%s", training_args.attention_impl)
+        model = model.clone(use_chunked_attention=attn_impl)
     elif model.remat_layers and model.remat_policy != remat_policy:
         # the caller passed a model that already remats — honor the CLI's
         # remat_policy rather than silently keeping the model's

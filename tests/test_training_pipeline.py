@@ -446,3 +446,55 @@ def test_remat_policy_flag_is_load_bearing(tmp_path):
     state, step = run_training(margs, DataTrainingArguments(),
                                targs("dots", "dots"), model, params, feats)
     assert step == 1
+
+
+def test_attention_impl_flag_is_load_bearing(tmp_path, monkeypatch):
+    """`TrainingArguments.attention_impl` must be consumed: a bogus value fails
+    fast, and 'pallas_flash' actually routes self-attention through the Pallas
+    kernel during the training step (counted via the module entry point)."""
+    cfg = tiny_config()
+    model = ParlerTTS(cfg, use_chunked_attention=True)  # exercises the re-clone path
+    rng = np.random.default_rng(0)
+    feats = [
+        {
+            "labels": rng.integers(0, PAD, size=(12, 4)),
+            "input_ids": list(rng.integers(0, 120, size=7)),
+            "prompt_input_ids": list(rng.integers(0, 256, size=4)),
+        }
+        for _ in range(8)
+    ]
+    params = model.init(
+        jax.random.key(0),
+        np.zeros((1, 4), np.int32), np.ones((1, 4), np.int32),
+        np.zeros((1, 3), np.int32), np.ones((1, 3), np.int32),
+        np.zeros((1, 2, 4), np.int32),
+    )["params"]
+    margs = ModelArguments(freeze_text_encoder=True, max_length=32)
+
+    def targs(impl, out):
+        return TrainingArguments(
+            output_dir=str(tmp_path / out), per_device_train_batch_size=1,
+            gradient_accumulation_steps=1, learning_rate=1e-3, warmup_steps=1,
+            max_steps=1, logging_steps=1, save_steps=100, eval_steps=100,
+            report_to="none", mesh_model=1, dtype="float32",
+            attention_impl=impl,
+        )
+
+    with pytest.raises(ValueError, match="attention_impl"):
+        run_training(margs, DataTrainingArguments(), targs("flish", "bad"),
+                     model, params, feats)
+
+    import parler_tts_tpu.ops.pallas.flash_attention as fa
+
+    calls = {"n": 0}
+    real = fa.flash_attention
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return real(*a, **kw)
+
+    monkeypatch.setattr(fa, "flash_attention", counting)
+    state, step = run_training(margs, DataTrainingArguments(),
+                               targs("pallas_flash", "pf"), model, params, feats)
+    assert step == 1
+    assert calls["n"] >= cfg.decoder.num_hidden_layers  # once per layer at trace
