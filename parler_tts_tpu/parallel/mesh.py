@@ -21,16 +21,25 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 def make_mesh(
     n_data: Optional[int] = None,
     n_model: int = 1,
+    n_seq: int = 1,
     devices=None,
 ) -> Mesh:
-    """Build a ('data', 'model') mesh. Defaults to all devices on `data`."""
+    """Build a ('data', 'seq', 'model') mesh. Defaults to all devices on
+    `data`. The 'seq' axis (sequence/context parallelism) shards the label
+    time axis of the training batch: activations of the long-T decoder are
+    T-sharded through every pointwise op and matmul, and GSPMD inserts the
+    attention collectives (the scaling-book recipe: annotate, let XLA place
+    collectives). Size-1 axes cost nothing — existing P('data'/'model')
+    specs are unaffected."""
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
     if n_data is None:
-        n_data = n // n_model
-    assert n_data * n_model == n, f"{n_data}x{n_model} != {n} devices"
-    arr = np.asarray(devices).reshape(n_data, n_model)
-    return Mesh(arr, ("data", "model"))
+        n_data = n // (n_model * n_seq)
+    assert n_data * n_seq * n_model == n, (
+        f"{n_data}x{n_seq}x{n_model} != {n} devices"
+    )
+    arr = np.asarray(devices).reshape(n_data, n_seq, n_model)
+    return Mesh(arr, ("data", "seq", "model"))
 
 
 # ---------------------------------------------------------------------------

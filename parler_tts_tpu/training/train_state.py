@@ -267,9 +267,18 @@ def make_train_step(
 
     b_sh = batch_sharding(mesh)
     r_sh = replicated(mesh)
+    # sequence parallelism: labels (B, T, K) additionally shard T over 'seq'
+    # (size-1 on pure DP/TP meshes, a no-op there); the decoder activations
+    # inherit the T-sharding by propagation and GSPMD inserts the attention
+    # collectives
+    l_sh = (
+        jax.sharding.NamedSharding(mesh, P("data", "seq"))
+        if "seq" in mesh.shape
+        else b_sh
+    )
     return jax.jit(
         train_step,
-        in_shardings=(None, Batch(*([b_sh] * 5)), r_sh),
+        in_shardings=(None, Batch(b_sh, b_sh, b_sh, b_sh, l_sh), r_sh),
         out_shardings=None,
         donate_argnums=(0,),
     )

@@ -145,6 +145,44 @@ def test_sharded_train_step_matches_single_device(n_model):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)
 
 
+def test_sequence_parallel_train_step_matches_single_device():
+    """DP x SP x TP (2x2x2 over the 8-CPU mesh): the label T axis is sharded
+    over 'seq' and the loss trajectory must match the unsharded step — SPMD
+    correctness of the sequence-parallel layout (the efficiency story is
+    GSPMD-inserted attention collectives; the invariant here is exactness)."""
+    assert len(jax.devices()) == 8
+    model = ParlerTTS(tiny_config())
+    tx = make_optimizer(learning_rate=1e-3, warmup_steps=2, freeze_text_encoder=False)
+
+    state1 = init_state(model, tx, seed=3)
+    step1 = make_train_step(model, tx)
+
+    mesh = make_mesh(n_data=2, n_seq=2, n_model=2)
+    assert dict(mesh.shape) == {"data": 2, "seq": 2, "model": 2}
+    state2 = shard_train_state(init_state(model, tx, seed=3), mesh)
+    step2 = make_train_step(model, tx, mesh=mesh)
+
+    batch = make_batch(b=8, seed=4)
+    # the input sharding actually splits T over 'seq'
+    import jax.sharding as shd
+
+    labels = jax.device_put(
+        batch.labels, shd.NamedSharding(mesh, shd.PartitionSpec("data", "seq"))
+    )
+    t = batch.labels.shape[1]
+    assert {s.data.shape[1] for s in labels.addressable_shards} == {t // 2}
+
+    rng = jax.random.key(5)
+    for i in range(3):
+        rng, r = jax.random.split(rng)
+        state1, m1 = step1(state1, batch, r)
+        state2, m2 = step2(state2, batch, r)
+        np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=2e-4)
+    assert int(m2["num_items"]) == int(m1["num_items"])
+    for a, b in zip(jax.tree.leaves(state1.params), jax.tree.leaves(state2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)
+
+
 def test_param_sharding_actually_shards():
     mesh = make_mesh(n_model=2)
     model = ParlerTTS(tiny_config())
