@@ -17,7 +17,10 @@ Design (standard two-pass flash attention, written for this framework's
   backward — recompute p = exp(s - lse) per block pair (no O(T^2) residuals):
     * dq kernel: grid (B, H, nq, nk), accumulates ds @ k into VMEM scratch;
     * dkv kernel: grid (B, H, nk, nq), accumulates p^T @ do and ds^T @ q.
-    D = rowsum(do * o) is precomputed outside (one cheap fused XLA reduce).
+    D = rowsum(do * o) is recomputed per block from the o residual (a tiny
+    VPU reduce) rather than materialized in HBM. lse follows the in-tree
+    convention of 128-lane replication (Mosaic minor-dim tile rule; same
+    layout as jax.experimental.pallas.ops.tpu.flash_attention's l/m refs).
 
 GQA is handled by expanding kv heads to the query-head count outside the
 kernel and group-summing dk/dv in the VJP (the decoder's training shapes are
@@ -130,8 +133,16 @@ def _recompute_p(q_ref, k_ref, mask_ref, lse_ref, qi, ki, *,
     return jnp.where(ok, jnp.exp(s - lse), 0.0), ok
 
 
+def _rowsum_do_o(do_ref, o_ref):
+    """D = rowsum(do * o) — (bq, 1) fp32, recomputed per block pair."""
+    return jnp.sum(
+        do_ref[0, 0].astype(jnp.float32) * o_ref[0, 0].astype(jnp.float32),
+        axis=-1,
+    )[:, None]
+
+
 def _dq_kernel(
-    q_ref, k_ref, v_ref, mask_ref, lse_ref, do_ref, dsum_ref,
+    q_ref, k_ref, v_ref, mask_ref, lse_ref, do_ref, o_ref,
     dq_ref,
     dq_scr,
     *, block_q, block_k, q_offset, causal,
@@ -155,7 +166,7 @@ def _dq_kernel(
             do_ref[0, 0], v_ref[0, 0], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )                                                   # (bq, bk)
-        ds = p * (dp - dsum_ref[0, 0][:, :1])               # (bq, bk) f32
+        ds = p * (dp - _rowsum_do_o(do_ref, o_ref))         # (bq, bk) f32
         dq_scr[...] += jax.lax.dot_general(
             ds.astype(k_ref.dtype), k_ref[0, 0], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -167,7 +178,7 @@ def _dq_kernel(
 
 
 def _dkv_kernel(
-    q_ref, k_ref, v_ref, mask_ref, lse_ref, do_ref, dsum_ref,
+    q_ref, k_ref, v_ref, mask_ref, lse_ref, do_ref, o_ref,
     dk_ref, dv_ref,
     dk_scr, dv_scr,
     *, block_q, block_k, q_offset, causal,
@@ -198,7 +209,7 @@ def _dkv_kernel(
             do, v_ref[0, 0], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        ds = p * (dp - dsum_ref[0, 0][:, :1])
+        ds = p * (dp - _rowsum_do_o(do_ref, o_ref))
         dk_scr[...] += jax.lax.dot_general(
             ds.astype(q_ref.dtype), q_ref[0, 0], (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -267,8 +278,6 @@ def _bwd_call(q, k, v, mask, lse, o, do, *,
     b, h, tq, dh = q.shape
     tk = k.shape[2]
     nq, nk = tq // block_q, tk // block_k
-    dsum = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
-    dsum = jnp.broadcast_to(dsum[..., None], (b, h, tq, 128))
 
     dq = pl.pallas_call(
         functools.partial(
@@ -279,7 +288,7 @@ def _bwd_call(q, k, v, mask, lse, o, do, *,
         in_specs=[
             _qspec(block_q, dh), _kspec(block_k, dh), _kspec(block_k, dh),
             _mspec(block_k), _lspec(block_q), _qspec(block_q, dh),
-            _lspec(block_q),
+            _qspec(block_q, dh),
         ],
         out_specs=[_qspec(block_q, dh)],
         out_shape=[jax.ShapeDtypeStruct((b, h, tq, dh), q.dtype)],
@@ -288,7 +297,7 @@ def _bwd_call(q, k, v, mask, lse, o, do, *,
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(q, k, v, mask, lse, do, dsum)[0]
+    )(q, k, v, mask, lse, do, o)[0]
 
     # dkv grid swaps the inner axes: k blocks parallel, q blocks sequential
     def _qspec_t(bq, d):
@@ -310,9 +319,7 @@ def _bwd_call(q, k, v, mask, lse, o, do, *,
                 (1, 1, block_q, 128), lambda b_, h_, ki, qi: (b_, h_, qi, 0)
             ),
             _qspec_t(block_q, dh),
-            pl.BlockSpec(
-                (1, 1, block_q, 128), lambda b_, h_, ki, qi: (b_, h_, qi, 0)
-            ),
+            _qspec_t(block_q, dh),
         ],
         out_specs=[_kspec_t(block_k, dh), _kspec_t(block_k, dh)],
         out_shape=[
@@ -327,7 +334,7 @@ def _bwd_call(q, k, v, mask, lse, o, do, *,
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(q, k, v, mask, lse, do, dsum)
+    )(q, k, v, mask, lse, do, o)
     return dq, dk, dv
 
 

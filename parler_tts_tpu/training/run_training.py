@@ -204,23 +204,30 @@ def run_training(
     attn_impl = (
         "pallas" if training_args.attention_impl == "pallas_flash" else True
     )
+    # collect every reconciliation independently and clone once — a caller
+    # model may need several at a time (e.g. different attention impl AND a
+    # different remat_policy)
+    clone_kwargs = {}
     if max_t >= 512 and not (model.use_chunked_attention and model.remat_layers):
         logger.info(
             "enabling %s attention + per-layer remat for T=%d",
             training_args.attention_impl, max_t,
         )
-        model = model.clone(
+        clone_kwargs.update(
             use_chunked_attention=attn_impl, remat_layers=True,
             remat_policy=remat_policy,
         )
-    elif model.use_chunked_attention and model.use_chunked_attention != attn_impl:
-        logger.info("applying attention_impl=%s", training_args.attention_impl)
-        model = model.clone(use_chunked_attention=attn_impl)
-    elif model.remat_layers and model.remat_policy != remat_policy:
-        # the caller passed a model that already remats — honor the CLI's
-        # remat_policy rather than silently keeping the model's
-        logger.info("applying remat_policy=%s", training_args.remat_policy)
-        model = model.clone(remat_policy=remat_policy)
+    else:
+        if model.use_chunked_attention and model.use_chunked_attention != attn_impl:
+            logger.info("applying attention_impl=%s", training_args.attention_impl)
+            clone_kwargs["use_chunked_attention"] = attn_impl
+        if model.remat_layers and model.remat_policy != remat_policy:
+            # the caller passed a model that already remats — honor the CLI's
+            # remat_policy rather than silently keeping the model's
+            logger.info("applying remat_policy=%s", training_args.remat_policy)
+            clone_kwargs["remat_policy"] = remat_policy
+    if clone_kwargs:
+        model = model.clone(**clone_kwargs)
     # mixed precision (reference recipe trains in bf16,
     # run_parler_tts_training.py:90-95,116 + starting_point_v1.json "dtype"):
     # params/optimizer stay fp32, the forward/backward computes in `dtype`

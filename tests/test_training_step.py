@@ -177,10 +177,23 @@ def test_sequence_parallel_train_step_matches_single_device():
         rng, r = jax.random.split(rng)
         state1, m1 = step1(state1, batch, r)
         state2, m2 = step2(state2, batch, r)
+        # loss + grad_norm per step are the exactness invariants: any SPMD bug
+        # (missing psum, wrong normalization, mask misalignment) shows up here
         np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=2e-4)
+        np.testing.assert_allclose(
+            float(m1["grad_norm"]), float(m2["grad_norm"]), rtol=2e-3
+        )
     assert int(m2["num_items"]) == int(m1["num_items"])
+    # Params tolerate Adam noise amplification: resharding the T axis changes
+    # fp32 reduction order; on near-zero-second-moment elements the update
+    # m/sqrt(v) is O(1)-sensitive to that noise, so divergence grows at
+    # O(lr * steps) even when every per-step loss/grad agrees (observed up to
+    # 1.5e-3 after 3 steps at lr=1e-3). Bound at the update scale.
+    lr, steps = 1e-3, 3
     for a, b in zip(jax.tree.leaves(state1.params), jax.tree.leaves(state2.params)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2 * lr * steps
+        )
 
 
 def test_param_sharding_actually_shards():
