@@ -64,6 +64,47 @@ def si_sdr(audios: List[np.ndarray], sampling_rate: int) -> Optional[List[float]
     return out
 
 
+def word_error_rate(predictions: List[str], references: List[str]) -> float:
+    """Corpus word error rate: total word edit distance / total reference
+    words. Native fallback for the reference's jiwer-backed
+    `evaluate.load("wer")` (eval.py:88) — same corpus-level definition
+    (substitutions + insertions + deletions over the pooled references)."""
+    total_edits, total_words = 0, 0
+    for pred, ref in zip(predictions, references):
+        p, r = pred.split(), ref.split()
+        # Levenshtein over words, two-row DP
+        prev = list(range(len(p) + 1))
+        for i, rw in enumerate(r, 1):
+            cur = [i] + [0] * len(p)
+            for j, pw in enumerate(p, 1):
+                cur[j] = min(
+                    prev[j] + 1,                       # deletion
+                    cur[j - 1] + 1,                    # insertion
+                    prev[j - 1] + (rw != pw),          # substitution
+                )
+            prev = cur
+        total_edits += prev[-1]
+        total_words += len(r)
+    return total_edits / max(total_words, 1)
+
+
+class _NativeWerMetric:
+    def compute(self, predictions, references):
+        return word_error_rate(predictions, references)
+
+
+def _load_wer_metric():
+    """`evaluate.load("wer")` when available (reference eval.py:88); the
+    in-repo corpus-WER implementation otherwise (evaluate fetches its metric
+    script from the hub, so it is unusable offline)."""
+    try:
+        import evaluate
+
+        return evaluate.load("wer")
+    except Exception:
+        return _NativeWerMetric()
+
+
 def wer(
     asr_model_name_or_path: str,
     prompts: List[str],
@@ -76,7 +117,6 @@ def wer(
     """Whisper transcription -> normalized WER, plus clean-WER above an SI-SDR
     threshold (eval.py:71-142). Returns (wer%, clean_wer%, transcriptions)."""
     try:
-        import evaluate
         from transformers import pipeline
         from transformers.models.whisper.english_normalizer import (
             BasicTextNormalizer,
@@ -85,8 +125,12 @@ def wer(
     except ImportError:
         return None
 
-    metric = evaluate.load("wer")
-    asr = pipeline(model=asr_model_name_or_path, device="cpu")
+    metric = _load_wer_metric()
+    # task named explicitly: hub task inference is refused in offline mode
+    asr = pipeline(
+        "automatic-speech-recognition", model=asr_model_name_or_path,
+        device="cpu",
+    )
     return_language = "whisper" in asr_model_name_or_path.lower()
 
     transcriptions = asr(
