@@ -1,0 +1,185 @@
+"""Ground speculative decoding on PEAKED logits: overfit mini-v1 on-chip on
+synthetic structured codec data, then measure accepted-columns/forward, the
+greedy TPU flip rate, and e2e RTFx with TRAINED weights.
+
+Why: the driver bench runs random weights (no network); near-flat logits make
+self-drafted candidates abnormally easy to accept, so the random-weight
+cols/forward (5.6 at W=24 in r3) is an upper bound. An overfit model is the
+opposite pole — sharp, low-entropy logits on in-distribution prefixes — and a
+real checkpoint's acceptance sits between the two. This script publishes the
+peaked-logits data point (VERDICT r3 Missing #1 / Next #3).
+
+  python benchmarks/spec_trained.py [steps] [windows]   # e.g. 300 8,16,24
+
+Trains with the recipe trainer (bf16 compute, chunked attention, remat),
+saves bf16 params to benchmarks/ckpt_overfit/params.msgpack (consumed by
+bench.py via BENCH_SPEC_CKPT=benchmarks/ckpt_overfit/params.msgpack), then
+A/Bs plain vs speculative generation, greedy and sampled.
+
+Run ONE process at a time on the shared chip.
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def synthetic_batch(cfg, b, t_len, seed=0):
+    """Deterministic periodic codec patterns: label[b, t, k] follows a period-P
+    walk shared across rows — conditional entropy ~0 once memorized."""
+    import jax.numpy as jnp
+
+    from parler_tts_tpu.training.train_state import Batch
+
+    k_cb = cfg.decoder.num_codebooks
+    cb = cfg.audio_encoder.codebook_size
+    rng = np.random.default_rng(seed)
+    period = 16
+    base = rng.integers(0, cb, size=(period,))
+    t_idx = np.arange(t_len)
+    labels = ((base[t_idx % period][None, :, None]
+               + 7 * np.arange(k_cb)[None, None, :]
+               + 3 * np.arange(b)[:, None, None]) % cb).astype(np.int32)
+    desc = rng.integers(0, 30000, size=(b, 16)).astype(np.int32)
+    prompt = rng.integers(0, 30000, size=(b, 8)).astype(np.int32)
+    return Batch(
+        input_ids=jnp.asarray(desc),
+        attention_mask=jnp.ones((b, 16), jnp.int32),
+        prompt_input_ids=jnp.asarray(prompt),
+        prompt_attention_mask=jnp.ones((b, 8), jnp.int32),
+        labels=jnp.asarray(labels),
+    ), desc, prompt
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from flax import serialization
+
+    from __graft_entry__ import _flagship_config
+    from parler_tts_tpu.config import GenerationConfig
+    from parler_tts_tpu.models.parler import ParlerTTS
+    from parler_tts_tpu.runtime.generate import make_generate
+    from parler_tts_tpu.runtime.speculative import make_generate_speculative
+    from parler_tts_tpu.training import TrainState, make_optimizer, make_train_step
+    from parler_tts_tpu.utils.compile_cache import enable_compilation_cache
+    from parler_tts_tpu.utils.dtypes import cast_floating
+
+    enable_compilation_cache()
+    steps = int(sys.argv[1]) if len(sys.argv) > 1 else 300
+    windows = [int(w) for w in (sys.argv[2].split(",") if len(sys.argv) > 2
+                                else ("8", "16", "24"))]
+    max_length = 860
+    frame_rate = 86
+
+    cfg = _flagship_config()
+    train_model = ParlerTTS(
+        cfg, dtype=jnp.bfloat16, use_chunked_attention=True, remat_layers=True,
+    )
+    params = jax.jit(train_model.init)(
+        jax.random.key(0),
+        jnp.zeros((1, 4), jnp.int32), jnp.ones((1, 4), jnp.int32),
+        jnp.zeros((1, 3), jnp.int32), jnp.ones((1, 3), jnp.int32),
+        jnp.zeros((1, 2, cfg.decoder.num_codebooks), jnp.int32),
+    )["params"]
+
+    tx = make_optimizer(learning_rate=3e-4, warmup_steps=20,
+                        freeze_text_encoder=True)
+    state = TrainState.create(params, tx)
+    step_fn = make_train_step(train_model, tx)
+    batch, desc, prompt = synthetic_batch(cfg, b=2, t_len=max_length)
+
+    print(f"training {steps} steps on synthetic period-16 data", flush=True)
+    t0 = time.perf_counter()
+    rng = jax.random.key(1)
+    for i in range(steps):
+        rng, r = jax.random.split(rng)
+        state, m = step_fn(state, batch, r)
+        if i % 50 == 0 or i == steps - 1:
+            print(f"  step {i}: loss={float(m['loss']):.4f}", flush=True)
+    print(f"train wall: {time.perf_counter() - t0:.1f}s "
+          f"final loss {float(m['loss']):.4f}", flush=True)
+
+    params_bf16 = cast_floating(state.params, jnp.bfloat16)
+    out_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "ckpt_overfit")
+    os.makedirs(out_dir, exist_ok=True)
+    ckpt_path = os.path.join(out_dir, "params.msgpack")
+    with open(ckpt_path, "wb") as f:
+        f.write(serialization.to_bytes(jax.tree.map(np.asarray, params_bf16)))
+    print(f"saved {ckpt_path} "
+          f"({os.path.getsize(ckpt_path) / 1e6:.0f} MB)", flush=True)
+
+    # ---- generation A/B on the trained weights (in-distribution desc/prompt)
+    model = ParlerTTS(cfg, dtype=jnp.bfloat16)
+    d = desc[:1]
+    dm = np.ones_like(d)
+    p = prompt[:1]
+    pm = np.ones_like(p)
+
+    def gen_cfg(greedy):
+        return GenerationConfig(
+            max_length=max_length, min_new_tokens=max_length,
+            do_sample=not greedy, temperature=1.0,
+            bos_token_id=cfg.decoder.bos_token_id,
+            pad_token_id=cfg.decoder.pad_token_id,
+            eos_token_id=cfg.decoder.eos_token_id,
+            codebook_guard=cfg.audio_encoder.codebook_size,
+        )
+
+    audio_s = (max_length - cfg.decoder.num_codebooks) / frame_rate
+    results = {}
+    for greedy in (True, False):
+        g = gen_cfg(greedy)
+        tag0 = "greedy" if greedy else "sampled"
+        plain = make_generate(model, g)
+        t0 = time.perf_counter()
+        ref = plain(params_bf16, d, dm, p, pm, jax.random.key(7))
+        np.asarray(ref.codes)
+        print(f"[{tag0} plain] compile+run {time.perf_counter() - t0:.1f}s",
+              flush=True)
+        t0 = time.perf_counter()
+        ref = plain(params_bf16, d, dm, p, pm, jax.random.key(7))
+        np.asarray(ref.codes)
+        t_plain = time.perf_counter() - t0
+        results[f"{tag0}_plain_rtfx"] = round(audio_s / t_plain, 2)
+        print(f"[{tag0} plain] {t_plain:.3f}s "
+              f"rtfx={audio_s / t_plain:.1f}", flush=True)
+
+        for w in windows:
+            spec = make_generate_speculative(model, g, window=w)
+            out, stats = spec(params_bf16, d, dm, p, pm, jax.random.key(7))
+            np.asarray(out.codes)  # compile
+            t0 = time.perf_counter()
+            out, stats = spec(params_bf16, d, dm, p, pm, jax.random.key(7))
+            np.asarray(out.codes)
+            t_spec = time.perf_counter() - t0
+            cpf = int(stats.columns) / max(1, int(stats.forwards))
+            row = {
+                "rtfx": round(audio_s / t_spec, 2),
+                "cols_per_fwd": round(cpf, 2),
+                "speedup_vs_plain": round(t_plain / t_spec, 2),
+            }
+            if greedy:
+                flips = float(
+                    (np.asarray(out.delayed_ids) != np.asarray(ref.delayed_ids))
+                    .mean()
+                )
+                row["flip_rate"] = round(flips, 4)
+            results[f"{tag0}_spec_w{w}"] = row
+            print(f"[{tag0} spec W={w}] {t_spec:.3f}s rtfx={audio_s/t_spec:.1f} "
+                  f"cols/fwd={cpf:.2f} speedup={t_plain/t_spec:.2f}x"
+                  + (f" flip_rate={row['flip_rate']}" if greedy else ""),
+                  flush=True)
+
+    import json
+
+    print(json.dumps({"trained_spec": results}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -42,9 +42,6 @@ def main():
     micro_g = int(sys.argv[6]) if len(sys.argv) > 6 else None
     if micro_g is not None and micro_g <= 1:
         micro_g = None
-    micro_g = int(sys.argv[6]) if len(sys.argv) > 6 else None
-    if micro_g is not None and micro_g <= 1:
-        micro_g = None
 
     cfg = ParlerTTSConfig()  # mini-v1 geometry + flan-t5-large encoder
     model = ParlerTTS(
@@ -88,8 +85,49 @@ def main():
         state, m = step_fn(state, batch, jax.random.key(2 + i))
         float(m["loss"])  # sync
         times.append(time.perf_counter() - t0)
-    print(f"step median: {np.median(times)*1000:.1f} ms "
+    med = float(np.median(times))
+    print(f"step median: {med*1000:.1f} ms "
           f"(runs: {[f'{x*1000:.0f}' for x in times]})", flush=True)
+
+    # ---- achieved TFLOP/s and MFU (model-FLOPs method, remat-adjusted).
+    # Matmul-participating params only (embedding gathers excluded); fwd =
+    # 2*P*tokens, bwd = 4*P*tokens, full remat re-runs the fwd (+2), the
+    # 'dots' policy recomputes only elementwise work (+0 matmul FLOPs).
+    # Self-attention adds 4*T^2*D per layer fwd (causal halves it -> 2),
+    # x3 for bwd (x4 full remat); cross/encoder terms analogous.
+    def _matmul_params(tree, skip=("embed", "shared")):
+        import jax as _jax
+
+        total = 0
+        for path, leaf in _jax.tree_util.tree_leaves_with_path(tree):
+            name = _jax.tree_util.keystr(path).lower()
+            if any(s in name for s in skip) or leaf.ndim < 2:
+                continue
+            total += leaf.size
+        return total
+
+    d = cfg.decoder
+    p_dec = _matmul_params(params["decoder"])
+    p_enc = _matmul_params(params["text_encoder"])
+    s_desc = int(batch.input_ids.shape[1])
+    remat_mult = {"none": 8, "dots": 6}[policy]  # of fwd-equivalents x 2P
+    flops = remat_mult * p_dec * b * t_len
+    # decoder self-attention (causal): 2*T^2*D fwd per layer
+    attn_fwd = 2 * d.num_hidden_layers * b * t_len * t_len * d.hidden_size
+    flops += (remat_mult / 2) * attn_fwd
+    # frozen text encoder still runs fwd+bwd through the graph
+    flops += 6 * p_enc * b * s_desc
+    if micro_g:
+        pass  # same math; the scan re-runs per micro-batch over B/G rows
+    tflops = flops / med / 1e12
+    dev = jax.devices()[0]
+    peak = 197.0 if "v5 lite" in str(dev.device_kind).lower() else None
+    mfu = f" mfu={tflops / peak * 100:.1f}%" if peak else ""
+    print(
+        f"achieved: {tflops:.1f} TFLOP/s{mfu} "
+        f"(P_dec={p_dec/1e6:.0f}M matmul-params, remat_mult={remat_mult})",
+        flush=True,
+    )
 
 
 if __name__ == "__main__":

@@ -182,6 +182,33 @@ def test_mini_v1_scale_checkpoint_fidelity(tmp_path):
 
 
 @pytest.mark.slow
+def test_large_v1_geometry_checkpoint_fidelity(tmp_path):
+    """large-v1 layer geometry (init_large_model.py:25-43): 1536 hidden /
+    24 heads (MHA, num_key_value_heads=24) / 6144 ffn decoder over 9
+    codebooks, flan-t5-large encoder width (1024, gated-gelu) — layer COUNTS
+    trimmed (30->4 decoder, 24->2 encoder) to keep the CPU oracle tractable;
+    every per-layer tensor keeps the exact large-v1 shape."""
+    ref, _, path = _build_checkpoint(
+        tmp_path,
+        t5_kw=dict(vocab_size=32128, d_model=1024, d_kv=64, d_ff=2816,
+                   num_layers=2, num_heads=16,
+                   feed_forward_proj="gated-gelu"),  # flan-t5-large is gated
+        dec_kw=dict(vocab_size=1088, hidden_size=1536, num_hidden_layers=4,
+                    num_attention_heads=24, num_key_value_heads=24,
+                    ffn_dim=6144, num_codebooks=9,
+                    max_position_embeddings=4096),
+        dac_cfg=DACConfig(),  # real v1 DAC geometry
+        seed=11,
+    )
+    pipe = ParlerTTSPipeline.from_pretrained(path)
+    # enc_to_dec_proj present (1024 != 1536)
+    assert "enc_to_dec_proj" in pipe.params
+    assert pipe.config.decoder.hidden_size == 1536
+    assert pipe.config.decoder.num_attention_heads == 24
+    _logits_parity(ref, pipe, t=8)
+
+
+@pytest.mark.slow
 def test_checkpoint_fidelity_no_enc_to_dec_proj(tmp_path):
     """Equal hidden sizes: the reference writes NO enc_to_dec_proj tensors; the
     loader must cope (modeling:2388-2392) and logits must still match."""
