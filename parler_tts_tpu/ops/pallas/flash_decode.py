@@ -1,30 +1,55 @@
 """Pallas flash-decode attention over the static KV cache.
 
 Single-token decode attention for the AR loop (BASELINE.json north star).
-Fuses what the XLA path does in several ops — bias construction, q·K, masking,
-softmax, ·V — into one kernel with two structural wins:
-
-Measured reality check (v5e, mini-v1 shapes, B=1, S=896): the fused XLA path
-runs ~76us/layer-call and this kernel ~70-170us — at single-utterance decode
-the attention is op-overhead-bound, not bandwidth-bound, so the kernel is an
-OPT-IN (`ParlerTTS(..., use_flash_decode=True)`); its prefix-bounded reads pay
-off as batch x cache_len grows (batched serving).
-
-Structural wins:
+Fuses what the XLA path does in several ops — q·K, masking, softmax, ·V —
+into one kernel with three structural wins:
 
   1. prefix-bounded bandwidth: the kernel only streams cache blocks up to the
      current write index. The scalar-prefetch index map pins all later grid
      steps to the last needed block, so the Pallas pipeline fetches it once
      and `pl.when` skips their compute — early decode steps read a fraction
      of the cache instead of all `max_length` slots;
-  2. mask-free masking: validity is the range [start_b, limit) (left-padded
-     prompt start per batch row, current length), computed from block
-     coordinates — no (B, 1, T, S) bias array is ever materialized.
+  2. MXU-shaped compute: a single decode query makes q·K a per-head MATVEC,
+     which XLA strength-reduces to a VPU loop fusion that streams the cache
+     at ~170 GB/s (profiled at B=8: 88 us per 14.7 MB layer read — the
+     dominant cost of the batched step). Here both contractions run on the
+     MXU as real matmuls via a block-diagonal query: qbd (H_kv*Dh, H) with
+     qbd[kv*Dh:(kv+1)*Dh, kv*G+g] = q_{kv*G+g}, so
+        scores (BLK, H)     = K2d (BLK, H_kv*Dh) @ qbd     — one dot
+        ctx    (H, H_kv*Dh) = P^T (H, BLK)       @ V2d     — one dot
+     and the per-head context is the diagonal block of ctx, extracted by a
+     third tiny matmul (mask + stacked-identity fold; Mosaic cannot split
+     the 1024-lane minor dim in-kernel). The off-diagonal MACs are free
+     (~4 MFLOP against a 512 KB DMA), leaving the step DMA-bound;
+  3. row-blocked grid: the grid iterates sequentially on one TensorCore, so
+     (B, nblk) grid steps cost ~1 us each in fixed overhead — at B=32 that
+     is 3k steps (~3 ms/token across 24 layers), dwarfing the DMA. Batching
+     RB=8 rows per grid step (batched MXU dots over the row dimension) cuts
+     the step count 8x; per-row [start, limit) masking keeps semantics.
 
-Layout: q (B, H, Dh) pre-scaled (+RoPE'd); k/v (B, S, H_kv, Dh) — one layer of
-the stacked cache; GQA handled by repeating kv heads in-register. The online
-softmax runs in fp32 scratch; blocks are VPU-friendly (the per-step attention
-is bandwidth-, not MXU-, bound at decode).
+Companion layout: the decode cache is stored FLAT as (L, B, S, H_kv*Dh)
+(`DecoderCache.zeros(flat_self=True)`), so the per-layer 2-D slice the
+kernel consumes is a bitcast. Feeding the kernel from the 5-D cache instead
+makes XLA satisfy the kernel's row-major operand with an S-minor cache
+layout — turning every one-token DUS write into an 11 us strided scatter
+(+0.9 ms/step at B=8, profiled) plus 19 us/layer slice copies.
+
+Measured v5e, mini-v1 shapes, full 860-step generation (benchmarks/
+serving_frontier.py --mode fd): see INFERENCE.md's serving-frontier table.
+The VPU predecessor of this kernel matched plain XLA at B=8 (3.9 ms/step)
+and lost at B=32; this version is the batched-serving default path.
+
+Layout: q (B, H, Dh) pre-scaled (+RoPE'd); k/v (B, S, H_kv, Dh) — one layer
+of the stacked cache (a bitcast view when the cache is flat); GQA handled by
+the block-diagonal query placement. The online softmax runs in fp32 scratch;
+P is cast to the cache dtype for the MXU ·V dot (max-subtracted, so |p| <= 1
+and bf16's 2^-8 granularity is benign — the same choice every production
+flash-attention kernel makes; fp32 caches keep full precision).
+
+Reference parity: this implements the decode-step slice of the reference's
+attention (`/root/reference/parler_tts/modeling_parler_tts.py:439-584`) over
+its StaticCache layout (:3254-3309), with left-padded-prompt validity
+[start_b, limit) instead of a materialized (B,1,T,S) bias.
 """
 
 from __future__ import annotations
@@ -41,24 +66,32 @@ NEG_INF = float(jnp.finfo(jnp.float32).min)
 
 def _decode_kernel(
     bounds_ref,          # scalar prefetch: (B, 2) int32 [start, limit]
-    q_ref,               # (1, H, Dh) VMEM
-    k_ref,               # (1, BLK, H_kv, Dh) VMEM (pipelined block)
-    v_ref,               # (1, BLK, H_kv, Dh) VMEM
-    out_ref,             # (1, H, Dh) VMEM
-    m_ref,               # (H, 128) f32 scratch (running max, col 0 used)
-    l_ref,               # (H, 128) f32 scratch (running denom, col 0 used)
-    acc_ref,             # (H, Dh) f32 scratch
+    boundsv_ref,         # (1, 8, 128) int32 VMEM — rows r<RB: [0,r,0]=start,
+                         # [0,r,1]=limit. The bounds as vectors, padded to a
+                         # full (8,128) tile (Mosaic crashes on SMEM-scalar ->
+                         # vector stacks in-kernel, and sub-8-sublane blocks
+                         # are rejected)
+    qbd_ref,             # (RB, H_kv*Dh, H) VMEM — block-diagonal queries
+    msel_ref,            # (H, H_kv*Dh) f32 VMEM — per-head kv-block mask
+    fold_ref,            # (H_kv*Dh, Dh) f32 VMEM — segment-fold identity
+    k_ref,               # (RB, BLK, H_kv*Dh) VMEM (pipelined block)
+    v_ref,               # (RB, BLK, H_kv*Dh) VMEM
+    out_ref,             # (RB, H, Dh) VMEM
+    m_ref,               # (RB, H, 128) f32 scratch (running max, col 0 used)
+    l_ref,               # (RB, H, 128) f32 scratch (running denom, col 0 used)
+    acc_ref,             # (RB, H, Dh) f32 scratch
     *,
     block_s: int,
-    groups: int,
+    rb: int,
 ):
-    b = pl.program_id(0)
+    bi = pl.program_id(0)
     j = pl.program_id(1)
     nblk = pl.num_programs(1)
 
-    start = bounds_ref[b, 0]
-    limit = bounds_ref[b, 1]
-    last_needed = jnp.maximum((limit + block_s - 1) // block_s - 1, 0)
+    lim_max = bounds_ref[bi * rb, 1]
+    for r in range(1, rb):
+        lim_max = jnp.maximum(lim_max, bounds_ref[bi * rb + r, 1])
+    last_needed = jnp.maximum((lim_max + block_s - 1) // block_s - 1, 0)
 
     @pl.when(j == 0)
     def _init():
@@ -68,58 +101,74 @@ def _decode_kernel(
 
     @pl.when(j <= last_needed)
     def _compute():
-        q = q_ref[0].astype(jnp.float32)                    # (H, Dh)
-        k = k_ref[0].astype(jnp.float32)                    # (BLK, H_kv, Dh)
-        v = v_ref[0].astype(jnp.float32)
-
-        # scores[s, h] with query head h = kv * groups + g using kv head h//G
-        # (torch repeat_kv layout, reference modeling:279-289); VPU reduce —
-        # no MXU needed for a single query.
-        if groups > 1:
-            h_kv = k.shape[1]
-            qg = q.reshape(h_kv, groups, q.shape[-1])       # (H_kv, G, Dh)
-            scores = jnp.sum(
-                k[:, :, None, :] * qg[None], axis=-1
-            ).reshape(k.shape[0], -1)                        # (BLK, H)
-        else:
-            scores = jnp.sum(k * q[None], axis=-1)          # (BLK, H)
-
-        # the block the index map actually loaded (blocks past last_needed are
-        # pinned to last_needed, so global positions must use the pinned id)
-        blk_id = jnp.minimum(j, last_needed)
-        pos = blk_id * block_s + jax.lax.broadcasted_iota(
-            jnp.int32, scores.shape, dimension=0
+        # batched MXU: (RB, BLK, H_kv*Dh) @ (RB, H_kv*Dh, H) -> (RB, BLK, H)
+        scores = jax.lax.dot_general(
+            k_ref[...], qbd_ref[...],
+            (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
         )
-        valid = (pos >= start) & (pos < limit)
+
+        pos = j * block_s + jax.lax.broadcasted_iota(
+            jnp.int32, scores.shape, dimension=1
+        )
+        if rb == 1:
+            # single row: SMEM scalars broadcast fine (and Mosaic rejects
+            # 1-row vector slices of the padded bounds tile)
+            valid = (pos >= bounds_ref[bi, 0]) & (pos < bounds_ref[bi, 1])
+        else:
+            starts = boundsv_ref[0, :rb, 0]                 # (RB,)
+            limits = boundsv_ref[0, :rb, 1]
+            valid = (
+                (pos >= starts[:, None, None]) & (pos < limits[:, None, None])
+            )
         scores = jnp.where(valid, scores, NEG_INF)
 
-        m_prev = m_ref[:, 0]                                # (H,)
-        m_blk = jnp.max(scores, axis=0)                     # (H,)
+        m_prev = m_ref[:, :, 0]                             # (RB, H)
+        m_blk = jnp.max(scores, axis=1)                     # (RB, H)
         m_new = jnp.maximum(m_prev, m_blk)
-        p = jnp.exp(scores - m_new[None, :])                # (BLK, H)
+        p = jnp.exp(scores - m_new[:, None, :])             # (RB, BLK, H)
         p = jnp.where(valid, p, 0.0)
-        alpha = jnp.exp(m_prev - m_new)                     # (H,)
+        alpha = jnp.exp(m_prev - m_new)                     # (RB, H)
+        l_new = l_ref[:, :, 0] * alpha + jnp.sum(p, axis=1)
 
-        l_new = l_ref[:, 0] * alpha + jnp.sum(p, axis=0)
-        if groups > 1:
-            h_kv = v.shape[1]
-            pg = p.reshape(p.shape[0], h_kv, groups)         # (BLK, H_kv, G)
-            pv = jnp.sum(
-                pg[..., None] * v[:, :, None, :], axis=0
-            ).reshape(-1, v.shape[-1])                        # (H, Dh)
-        else:
-            pv = jnp.sum(p[:, :, None] * v, axis=0)          # (H, Dh)
-        acc_ref[...] = acc_ref[...] * alpha[:, None] + pv
-        m_ref[...] = jnp.broadcast_to(m_new[:, None], m_ref.shape)
-        l_ref[...] = jnp.broadcast_to(l_new[:, None], l_ref.shape)
+        # batched MXU: P^T @ V2d -> (RB, H, H_kv*Dh); per-head context is the
+        # diagonal kv block, extracted by the masked fold matmul.
+        ctx = jax.lax.dot_general(
+            p.astype(v_ref.dtype),  # bf16 cache -> bf16 P (max-subtracted,
+            v_ref[...],             # |p|<=1); f32 inputs keep full precision
+            (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )                                                    # (RB, H, HD)
+        h, hd = msel_ref.shape
+        dh = fold_ref.shape[1]
+        masked = (ctx * msel_ref[...][None]).reshape(rb * h, hd)
+        pv = jax.lax.dot_general(
+            masked, fold_ref[...],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(rb, h, dh)                                 # (RB, H, Dh)
+
+        acc_ref[...] = acc_ref[...] * alpha[:, :, None] + pv
+        m_ref[...] = jnp.broadcast_to(m_new[:, :, None], m_ref.shape)
+        l_ref[...] = jnp.broadcast_to(l_new[:, :, None], l_ref.shape)
 
     @pl.when(j == nblk - 1)
     def _finalize():
-        denom = jnp.maximum(l_ref[:, 0], 1e-30)
-        out_ref[0] = (acc_ref[...] / denom[:, None]).astype(out_ref.dtype)
+        denom = jnp.maximum(l_ref[:, :, 0], 1e-30)
+        out_ref[...] = (acc_ref[...] / denom[:, :, None]).astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("block_s", "interpret"))
+def _row_block(b: int, row_block: int) -> int:
+    """Largest divisor of b that is <= row_block (grid rows per step)."""
+    rb = min(row_block, b)
+    while b % rb:
+        rb -= 1
+    return rb
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_s", "row_block", "interpret")
+)
 def flash_decode_attention(
     q: jnp.ndarray,        # (B, H, Dh) — pre-scaled (and RoPE'd) query
     k: jnp.ndarray,        # (B, S, H_kv, Dh) cache keys
@@ -127,6 +176,7 @@ def flash_decode_attention(
     starts: jnp.ndarray,   # (B,) first valid slot (left-pad offset)
     limit: jnp.ndarray,    # () or (B,) — number of written slots
     block_s: int = 256,
+    row_block: int = 8,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Returns (B, H, Dh) attention output over the valid cache prefix."""
@@ -134,6 +184,15 @@ def flash_decode_attention(
     s = k.shape[1]
     h_kv = k.shape[2]
     groups = h // h_kv
+    rb = _row_block(b, row_block)
+    # keep the double-buffered K+V row-block under ~12 MB of VMEM (Mosaic
+    # hard-fails beyond it at rb=8, HD=1024, block 256)
+    while (
+        4 * rb * block_s * h_kv * dh * jnp.dtype(k.dtype).itemsize
+        > 12 * 1024 * 1024
+        and block_s > 128
+    ):
+        block_s //= 2
     block_s = min(block_s, s)
     nblk = pl.cdiv(s, block_s)
     # Mosaic only targets TPU; fall back to the interpreter elsewhere (tests)
@@ -141,33 +200,62 @@ def flash_decode_attention(
 
     limit = jnp.broadcast_to(jnp.asarray(limit, jnp.int32), (b,))
     bounds = jnp.stack([starts.astype(jnp.int32), limit], axis=1)  # (B, 2)
+    # VMEM copy of the bounds, (n_row_blocks, 8, 128)-padded to a full tile
+    boundsv = jnp.zeros((b // rb, 8, 128), jnp.int32)
+    boundsv = boundsv.at[:, :rb, :2].set(bounds.reshape(b // rb, rb, 2))
+
+    # Block-diagonal query (B, H_kv*Dh, H): query head h = kv*G + g sits in kv
+    # head kv's Dh rows (torch repeat_kv layout, reference modeling:279-289).
+    # ~B*H*H_kv*Dh MACs once per layer call — noise next to the cache DMA.
+    sel = (
+        jnp.arange(h, dtype=jnp.int32)[:, None] // groups
+        == jnp.arange(h_kv, dtype=jnp.int32)[None, :]
+    )                                                        # (H, H_kv)
+    qbd = jnp.einsum(
+        "bhd,hk->bkdh", q.astype(jnp.float32), sel.astype(jnp.float32)
+    ).reshape(b, h_kv * dh, h).astype(k.dtype)
+    # (H, H_kv*Dh) mask selecting head h's kv segment, and the (H_kv*Dh, Dh)
+    # stacked identity folding segments onto Dh — the kernel's third matmul.
+    msel = jnp.repeat(sel.astype(jnp.float32), dh, axis=1)   # (H, H_kv*Dh)
+    fold = jnp.tile(jnp.eye(dh, dtype=jnp.float32), (h_kv, 1))  # (H_kv*Dh, Dh)
+
+    # 2-D blocks for the kernel's MXU dots; a bitcast when the cache is flat
+    # (L, B, S, H_kv*Dh) — see DecoderCache.zeros(flat_self=True).
+    k2 = k.reshape(b, s, h_kv * dh)
+    v2 = v.reshape(b, s, h_kv * dh)
 
     def kv_index_map(bi, j, bounds_ref):
-        last = jnp.maximum((bounds_ref[bi, 1] + block_s - 1) // block_s - 1, 0)
-        return (bi, jnp.minimum(j, last), 0, 0)
+        lim = bounds_ref[bi * rb, 1]
+        for r in range(1, rb):
+            lim = jnp.maximum(lim, bounds_ref[bi * rb + r, 1])
+        last = jnp.maximum((lim + block_s - 1) // block_s - 1, 0)
+        return (bi, jnp.minimum(j, last), 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(b, nblk),
+        grid=(b // rb, nblk),
         in_specs=[
-            pl.BlockSpec((1, h, dh), lambda bi, j, bounds: (bi, 0, 0)),
-            pl.BlockSpec((1, block_s, h_kv, dh), kv_index_map),
-            pl.BlockSpec((1, block_s, h_kv, dh), kv_index_map),
+            pl.BlockSpec((1, 8, 128), lambda bi, j, bounds: (bi, 0, 0)),
+            pl.BlockSpec((rb, h_kv * dh, h), lambda bi, j, bounds: (bi, 0, 0)),
+            pl.BlockSpec((h, h_kv * dh), lambda bi, j, bounds: (0, 0)),
+            pl.BlockSpec((h_kv * dh, dh), lambda bi, j, bounds: (0, 0)),
+            pl.BlockSpec((rb, block_s, h_kv * dh), kv_index_map),
+            pl.BlockSpec((rb, block_s, h_kv * dh), kv_index_map),
         ],
-        out_specs=pl.BlockSpec((1, h, dh), lambda bi, j, bounds: (bi, 0, 0)),
+        out_specs=pl.BlockSpec((rb, h, dh), lambda bi, j, bounds: (bi, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((h, 128), jnp.float32),
-            pltpu.VMEM((h, 128), jnp.float32),
-            pltpu.VMEM((h, dh), jnp.float32),
+            pltpu.VMEM((rb, h, 128), jnp.float32),
+            pltpu.VMEM((rb, h, 128), jnp.float32),
+            pltpu.VMEM((rb, h, dh), jnp.float32),
         ],
     )
 
     return pl.pallas_call(
-        functools.partial(_decode_kernel, block_s=block_s, groups=groups),
+        functools.partial(_decode_kernel, block_s=block_s, rb=rb),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, h, dh), q.dtype),
         interpret=interpret,
-    )(bounds, q, k, v)
+    )(bounds, boundsv, qbd, msel, fold, k2, v2)
 
 
 def reference_decode_attention(q, k, v, starts, limit):

@@ -175,7 +175,8 @@ def generate_tokens(
 
     # ---- cache + masks
     s_cache = s_p + max_len
-    cache = DecoderCache.zeros(dcfg, b, s_cache, enc_states.shape[1], cache_dtype)
+    cache = DecoderCache.zeros(dcfg, b, s_cache, enc_states.shape[1], cache_dtype,
+                               flat_self=model.use_flash_decode)
     cross_k, cross_v = model.apply(
         variables, enc_states, method=lambda m, x: m.decoder_lm.precompute_cross_kv(x)
     )
@@ -375,7 +376,8 @@ def generate_tokens_fused(
     # cache rows padded to the kernel block so streaming DMAs stay in-bounds;
     # rows past `limit` are never read (mask-free [start, limit) bounds)
     s_cache = -(-(s_p + max_len) // block_s) * block_s
-    cache = DecoderCache.zeros(dcfg, b, s_cache, enc_states.shape[1], jnp.bfloat16)
+    cache = DecoderCache.zeros(dcfg, b, s_cache, enc_states.shape[1], jnp.bfloat16,
+                               flat_self=model.use_flash_decode)
     cross_k, cross_v = model.apply(
         variables, enc_states, method=lambda m, x: m.decoder_lm.precompute_cross_kv(x)
     )
@@ -528,7 +530,8 @@ def generate_tokens_decoder_only(
         encoder_hidden_states = jnp.zeros((b, 1, dcfg.hidden_size), jnp.float32)
         encoder_mask = jnp.zeros((b, 1), jnp.int32)
 
-    cache = DecoderCache.zeros(dcfg, b, max_len, encoder_hidden_states.shape[1], cache_dtype)
+    cache = DecoderCache.zeros(dcfg, b, max_len, encoder_hidden_states.shape[1], cache_dtype,
+                               flat_self=model.use_flash_decode)
     cross_k, cross_v = model.apply(
         variables, encoder_hidden_states,
         method=lambda m, x: m.decoder_lm.precompute_cross_kv(x),
@@ -666,7 +669,8 @@ def make_stream_functions(model: ParlerTTS, gen: GenerationConfig, cache_dtype=j
         )
         out_ids = jnp.where(pattern == -1, gen.pad_token_id, pattern)
 
-        cache = DecoderCache.zeros(dcfg, b, s_p + max_len, enc_states.shape[1], cache_dtype)
+        cache = DecoderCache.zeros(dcfg, b, s_p + max_len, enc_states.shape[1], cache_dtype,
+                                   flat_self=model.use_flash_decode)
         cross_k, cross_v = model.apply(
             variables, enc_states, method=lambda m, x: m.decoder_lm.precompute_cross_kv(x)
         )

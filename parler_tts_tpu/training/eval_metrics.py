@@ -25,8 +25,12 @@ def clap_similarity(
         from transformers import AutoProcessor, ClapModel
     except ImportError:
         return None
-    clap = ClapModel.from_pretrained(clap_model_name_or_path)
-    processor = AutoProcessor.from_pretrained(clap_model_name_or_path)
+    try:
+        clap = ClapModel.from_pretrained(clap_model_name_or_path)
+        processor = AutoProcessor.from_pretrained(clap_model_name_or_path)
+    except Exception:
+        # checkpoint unreachable (offline host, not cached): skip the metric
+        return None
     inputs = processor(
         text=texts, audios=[a.astype(np.float32) for a in audios],
         padding=True, return_tensors="pt", sampling_rate=sampling_rate,
@@ -49,7 +53,11 @@ def si_sdr(audios: List[np.ndarray], sampling_rate: int) -> Optional[List[float]
         return None
     import torchaudio
 
-    model = SQUIM_OBJECTIVE.get_model()
+    try:
+        model = SQUIM_OBJECTIVE.get_model()
+    except Exception:
+        # weights unreachable (offline host, not cached): skip the metric
+        return None
     max_len = 15 * SQUIM_OBJECTIVE.sample_rate
     out = []
     for audio in audios:
@@ -127,10 +135,17 @@ def wer(
 
     metric = _load_wer_metric()
     # task named explicitly: hub task inference is refused in offline mode
-    asr = pipeline(
-        "automatic-speech-recognition", model=asr_model_name_or_path,
-        device="cpu",
-    )
+    try:
+        asr = pipeline(
+            "automatic-speech-recognition", model=asr_model_name_or_path,
+            device="cpu",
+        )
+    except Exception:
+        # ASR checkpoint unreachable (offline host, not in the local cache):
+        # skip the metric rather than fail the eval loop — parity with the
+        # suite's other dep-gated metrics. Reference assumes a network
+        # (eval.py:74-87); this framework must run air-gapped.
+        return None
     return_language = "whisper" in asr_model_name_or_path.lower()
 
     transcriptions = asr(

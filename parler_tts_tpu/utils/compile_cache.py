@@ -51,3 +51,18 @@ def enable_compilation_cache(cache_dir: str | None = None) -> str | None:
         return cache_dir
     except Exception:  # pragma: no cover - config names vary across jax versions
         return None
+
+
+def cache_entries(cache_dir: str | None) -> set[str]:
+    """Current set of compiled-executable entries in the on-disk cache."""
+    if not cache_dir or not os.path.isdir(cache_dir):
+        return set()
+    return {f for f in os.listdir(cache_dir) if not f.startswith(".")}
+
+
+def report_cache_misses(cache_dir: str | None, before: set[str]) -> list[str]:
+    """Entries written since `before` — i.e. programs that MISSED the shipped
+    cache this process and paid a real XLA compile. A bench run on an
+    unchanged tree should report zero; a non-empty list means the shipped
+    cache is stale for the current programs and needs a refresh commit."""
+    return sorted(cache_entries(cache_dir) - before)

@@ -7,6 +7,9 @@ distributed-test strategy).
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"  # force: the machine may expose a TPU
+# fail hub lookups instantly instead of 5 DNS-retry rounds (~1 min each);
+# dep-gated metrics must skip, not stall, on this air-gapped host
+os.environ.setdefault("HF_HUB_OFFLINE", "1")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
