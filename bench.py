@@ -187,6 +187,16 @@ def main():
     if cols_per_fwd is not None:
         _progress(f"speculation: {cols_per_fwd} accepted columns/forward")
 
+    # achieved weight-stream rate of the decode loop: decoder+head bytes are
+    # re-read from HBM once per forward — the roofline axis for B=1 decode
+    dec_bytes = sum(
+        x.size * x.dtype.itemsize for x in jax.tree.leaves(pipe.params["decoder"])
+    )
+    n_fwd = int(spec_stats.forwards) if spec_stats is not None else int(out.steps)
+    weight_gb_s = dec_bytes * n_fwd / float(np.median(times)) / 1e9
+    _progress(f"decode weight stream: {weight_gb_s:.0f} GB/s "
+              f"({dec_bytes / 2**20:.0f} MiB x {n_fwd} forwards)")
+
     # ---- batched serving throughput: the plain loop with the MXU/row-blocked
     # Pallas flash-decode kernel over the FLAT KV cache is the measured
     # throughput frontier (benchmarks/serving_frontier.py sweep; the per-row
@@ -281,10 +291,30 @@ def main():
         "spec_window": int(os.environ.get("BENCH_SPEC_WINDOW", "24"))
         if os.environ.get("BENCH_MODE", "spec") == "spec" else 0,
         "cols_per_fwd": cols_per_fwd,
+        "weight_stream_gb_s": round(weight_gb_s, 1),
         "cache_misses": len(misses),
         "trained_ckpt": bool(os.environ.get("BENCH_SPEC_CKPT")),
         "platform": jax.devices()[0].platform,
     }
+
+    # surface the trained-weights speculation data point (VERDICT r3 #1):
+    # produced offline by benchmarks/spec_trained.py on an overfit (peaked-
+    # logits) mini-v1 checkpoint; random-weights cols_per_fwd above is the
+    # easy-acceptance pole, this is the sharp-logits pole.
+    trained_results = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "benchmarks", "ckpt_overfit", "results.json")
+    if os.path.exists(trained_results):
+        with open(trained_results) as f:
+            ts = json.load(f).get("trained_spec", {})
+        best_w = max(
+            (k for k in ts if k.startswith("greedy_spec_w")),
+            key=lambda k: ts[k]["rtfx"], default=None)
+        if best_w is not None:
+            result["trained_cols_per_fwd"] = ts[best_w]["cols_per_fwd"]
+            result["trained_greedy_flip_rate"] = ts[best_w].get("flip_rate")
+            result["trained_spec_rtfx"] = ts[best_w]["rtfx"]
+
     print(json.dumps(result))
 
 

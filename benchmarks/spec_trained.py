@@ -14,7 +14,12 @@ peaked-logits data point (VERDICT r3 Missing #1 / Next #3).
 Trains with the recipe trainer (bf16 compute, chunked attention, remat),
 saves bf16 params to benchmarks/ckpt_overfit/params.msgpack (consumed by
 bench.py via BENCH_SPEC_CKPT=benchmarks/ckpt_overfit/params.msgpack), then
-A/Bs plain vs speculative generation, greedy and sampled.
+A/Bs plain vs speculative generation, greedy and sampled. Results are also
+persisted to benchmarks/ckpt_overfit/results.json so bench.py can surface
+the trained-weights data point as aux fields without re-measuring.
+
+Pass `--load` (or set SPEC_TRAINED_LOAD=1) to reuse an existing
+params.msgpack and skip the ~17-min training phase.
 
 Run ONE process at a time on the shared chip.
 """
@@ -70,8 +75,11 @@ def main():
     from parler_tts_tpu.utils.dtypes import cast_floating
 
     enable_compilation_cache()
-    steps = int(sys.argv[1]) if len(sys.argv) > 1 else 300
-    windows = [int(w) for w in (sys.argv[2].split(",") if len(sys.argv) > 2
+    argv = [a for a in sys.argv[1:] if a != "--load"]
+    load_only = ("--load" in sys.argv[1:]
+                 or os.environ.get("SPEC_TRAINED_LOAD") == "1")
+    steps = int(argv[0]) if argv else 300
+    windows = [int(w) for w in (argv[1].split(",") if len(argv) > 1
                                 else ("8", "16", "24"))]
     max_length = 860
     frame_rate = 86
@@ -80,39 +88,54 @@ def main():
     train_model = ParlerTTS(
         cfg, dtype=jnp.bfloat16, use_chunked_attention=True, remat_layers=True,
     )
-    params = jax.jit(train_model.init)(
-        jax.random.key(0),
-        jnp.zeros((1, 4), jnp.int32), jnp.ones((1, 4), jnp.int32),
-        jnp.zeros((1, 3), jnp.int32), jnp.ones((1, 3), jnp.int32),
-        jnp.zeros((1, 2, cfg.decoder.num_codebooks), jnp.int32),
-    )["params"]
 
-    tx = make_optimizer(learning_rate=3e-4, warmup_steps=20,
-                        freeze_text_encoder=True)
-    state = TrainState.create(params, tx)
-    step_fn = make_train_step(train_model, tx)
+    def _init():
+        return train_model.init(
+            jax.random.key(0),
+            jnp.zeros((1, 4), jnp.int32), jnp.ones((1, 4), jnp.int32),
+            jnp.zeros((1, 3), jnp.int32), jnp.ones((1, 3), jnp.int32),
+            jnp.zeros((1, 2, cfg.decoder.num_codebooks), jnp.int32),
+        )["params"]
+
     batch, desc, prompt = synthetic_batch(cfg, b=2, t_len=max_length)
-
-    print(f"training {steps} steps on synthetic period-16 data", flush=True)
-    t0 = time.perf_counter()
-    rng = jax.random.key(1)
-    for i in range(steps):
-        rng, r = jax.random.split(rng)
-        state, m = step_fn(state, batch, r)
-        if i % 50 == 0 or i == steps - 1:
-            print(f"  step {i}: loss={float(m['loss']):.4f}", flush=True)
-    print(f"train wall: {time.perf_counter() - t0:.1f}s "
-          f"final loss {float(m['loss']):.4f}", flush=True)
-
-    params_bf16 = cast_floating(state.params, jnp.bfloat16)
     out_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "ckpt_overfit")
     os.makedirs(out_dir, exist_ok=True)
     ckpt_path = os.path.join(out_dir, "params.msgpack")
-    with open(ckpt_path, "wb") as f:
-        f.write(serialization.to_bytes(jax.tree.map(np.asarray, params_bf16)))
-    print(f"saved {ckpt_path} "
-          f"({os.path.getsize(ckpt_path) / 1e6:.0f} MB)", flush=True)
+
+    if load_only and os.path.exists(ckpt_path):
+        # shape-only template: no device init, no device->host transfer
+        template = jax.eval_shape(_init)
+        with open(ckpt_path, "rb") as f:
+            params_bf16 = serialization.from_bytes(template, f.read())
+        params_bf16 = jax.tree.map(jnp.asarray, params_bf16)
+        jax.block_until_ready(params_bf16)
+        print(f"loaded {ckpt_path} "
+              f"({os.path.getsize(ckpt_path) / 1e6:.0f} MB)", flush=True)
+    else:
+        params = jax.jit(_init)()
+        tx = make_optimizer(learning_rate=3e-4, warmup_steps=20,
+                            freeze_text_encoder=True)
+        state = TrainState.create(params, tx)
+        step_fn = make_train_step(train_model, tx)
+
+        print(f"training {steps} steps on synthetic period-16 data", flush=True)
+        t0 = time.perf_counter()
+        rng = jax.random.key(1)
+        for i in range(steps):
+            rng, r = jax.random.split(rng)
+            state, m = step_fn(state, batch, r)
+            if i % 50 == 0 or i == steps - 1:
+                print(f"  step {i}: loss={float(m['loss']):.4f}", flush=True)
+        print(f"train wall: {time.perf_counter() - t0:.1f}s "
+              f"final loss {float(m['loss']):.4f}", flush=True)
+
+        params_bf16 = cast_floating(state.params, jnp.bfloat16)
+        with open(ckpt_path, "wb") as f:
+            f.write(serialization.to_bytes(
+                jax.tree.map(np.asarray, params_bf16)))
+        print(f"saved {ckpt_path} "
+              f"({os.path.getsize(ckpt_path) / 1e6:.0f} MB)", flush=True)
 
     # ---- generation A/B on the trained weights (in-distribution desc/prompt)
     model = ParlerTTS(cfg, dtype=jnp.bfloat16)
@@ -178,6 +201,10 @@ def main():
 
     import json
 
+    results_path = os.path.join(out_dir, "results.json")
+    with open(results_path, "w") as f:
+        json.dump({"trained_spec": results}, f, indent=1)
+    print(f"wrote {results_path}", flush=True)
     print(json.dumps({"trained_spec": results}), flush=True)
 
 
