@@ -190,6 +190,7 @@ class ParlerTTSPipeline:
         fused_qkv: bool = False,
         speculative_window: Optional[int] = None,
         speculative_per_row: bool = False,
+        speculative_lookup: int = 3,
         codec_dtype: Any = None,
     ):
         from ..utils.compile_cache import enable_compilation_cache
@@ -251,6 +252,9 @@ class ParlerTTSPipeline:
         self._generate_spec_fn = None
         self._spec_window = speculative_window
         self._spec_per_row = speculative_per_row
+        # greedy draft source: history n-gram lookup with Jacobi fallback
+        # (speculative.lookup_candidates; 0 disables)
+        self._spec_lookup = speculative_lookup
         self.last_spec_stats = None
         if speculative_per_row and speculative_window is None:
             raise ValueError(
@@ -268,7 +272,7 @@ class ParlerTTSPipeline:
             # batch size, the batched-serving configuration.
             self._generate_spec_fn = make_generate_speculative(
                 model, self.generation_config, window=speculative_window,
-                per_row=speculative_per_row,
+                per_row=speculative_per_row, lookup_ngram=speculative_lookup,
             )
         self._stream_fns = None
         # opt-in serving mode: run the DAC decode conv stack in a reduced
@@ -555,6 +559,7 @@ class ParlerTTSPipeline:
                 self._stream_fns = make_stream_functions_speculative(
                     self.model, self.generation_config,
                     window=self._spec_window, per_row=self._spec_per_row,
+                    lookup_ngram=self._spec_lookup,
                 )
             else:
                 self._stream_fns = make_stream_functions(

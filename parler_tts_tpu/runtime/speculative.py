@@ -24,7 +24,13 @@ arXiv 2402.02057):
     draw, so every forward finalizes >= 1 column);
   - leftover + fresh candidates for the next window are re-sampled from this
     forward's distributions (each next-window slot gets an INDEPENDENT draw,
-    a requirement for the rejection identity).
+    a requirement for the rejection identity);
+  - a second draft source (`history_lookup_window`, prompt-lookup/REST
+    style): when the last g finalized columns re-occur earlier in the
+    stream, the window proposes that occurrence's continuation — as raw
+    candidates under greedy, as delta proposal distributions under sampling
+    (still exact: accept w.p. p(token), residual excludes it). Self-drafts
+    remain the fallback when no match exists.
 
 Both the offline generate loop and the STREAMING chunk loop
 (`make_stream_functions_speculative`) run on the same `_spec_step` body; the
@@ -126,8 +132,78 @@ def _base_logits(logits, col_idx, gen: GenerationConfig, prompt_cols):
     return x
 
 
+def history_lookup_window(out_ids, stored_f, t, n, fallback, *, g_n, w,
+                          k_cb, per_row=False, return_found=False):
+    """History-lookup draft (prompt-lookup / REST style).
+
+    Self-drafted Jacobi candidates carry NO new information when the model
+    is sharply sequential: token t+1 a deterministic function of token t
+    means each iteration extends the correct prefix by exactly one column
+    (measured: 1.01 cols/forward on an overfit mini-v1,
+    benchmarks/ckpt_overfit/results.json). Codec audio is locally
+    repetitive, so the strongest free draft is the model's OWN finalized
+    history: find the latest position whose last `g_n` columns (all K
+    codebooks, delayed-id space) equal the current suffix and propose its
+    continuation as the window. Draft quality cannot affect correctness —
+    the verify pass accepts only columns matching the fresh argmax — so
+    this trades nothing: spurious matches cost acceptance, never exactness.
+    With random weights matches essentially never occur and the self-draft
+    `fallback` keeps the Jacobi behavior.
+
+    All static shapes: the match is one (B, L, g) compare + g shifted adds
+    (O(B*L*g*K) elementwise — microseconds next to the forward).
+
+    Args: out_ids (B, K, L) stored ids finalized below column t; stored_f
+    (W, B, K) this forward's finalized window trajectory (written at t
+    before matching, so columns [t, t+n) are ground truth); t scalar or (B,)
+    next-to-finalize at entry; n scalar or (B,) columns accepted this
+    forward; fallback (W, B, K) self-draft candidates. Returns (W, B, K).
+    """
+    b = out_ids.shape[0]
+    length = out_ids.shape[-1]
+    blk = jnp.moveaxis(stored_f, 0, 2)                     # (B, K, W)
+    if per_row:
+        hist = jax.vmap(
+            lambda ob, bb, tb: jax.lax.dynamic_update_slice(ob, bb, (0, tb))
+        )(out_ids, blk, t)
+        t_new = t + n                                      # (B,)
+        tgt = jax.vmap(
+            lambda h, tn: jax.lax.dynamic_slice(
+                h, (0, tn - g_n), (k_cb, g_n))
+        )(hist, t_new)                                     # (B, K, g)
+    else:
+        hist = jax.lax.dynamic_update_slice(out_ids, blk, (0, 0, t))
+        t_new = t + n                                      # ()
+        tgt = jax.lax.dynamic_slice(
+            hist, (0, 0, t_new - g_n), (b, k_cb, g_n))     # (B, K, g)
+    eq = (hist[:, :, :, None] == tgt[:, :, None, :]).all(axis=1)  # (B, L, g)
+    n_pos = length - g_n + 1
+    score = sum(
+        eq[:, j:n_pos + j, j].astype(jnp.int32) for j in range(g_n)
+    )                                                      # (B, P)
+    pos = jnp.arange(n_pos) + g_n                          # start col p
+    # p < t_new (no trivial self-match; continuation grounded in history).
+    # Early columns where t_new - g < 0 clamp the tgt slice, but then no
+    # p >= g can be valid, so `found` stays False — safe by construction.
+    valid = pos[None, :] <= (jnp.atleast_1d(t_new)[:, None] - 1)
+    sc = jnp.where(valid, score, -1)
+    key = sc * (length + 1) + pos[None, :]                 # latest-match tiebreak
+    best = jnp.argmax(key, axis=1)                         # (B,)
+    bp = pos[best]
+    found = jnp.take_along_axis(sc, best[:, None], axis=1)[:, 0] == g_n
+    cont = jax.vmap(
+        lambda h, p: jax.lax.dynamic_slice(h, (0, p), (k_cb, w))
+    )(hist, bp)                                            # (B, K, W)
+    cont = jnp.moveaxis(cont, 2, 0)                        # (W, B, K)
+    blended = jnp.where(found[None, :, None], cont, fallback)
+    if return_found:
+        return blended, found
+    return blended
+
+
 def _make_spec_step(
-    model: ParlerTTS, gen: GenerationConfig, window: int, per_row: bool = False
+    model: ParlerTTS, gen: GenerationConfig, window: int, per_row: bool = False,
+    lookup_ngram: int = 0,
 ):
     """Build the one-forward-per-window body: SpecState -> SpecState.
 
@@ -156,6 +232,14 @@ def _make_spec_step(
     eos_oh = jax.nn.one_hot(eos_id, dcfg.vocab_size, dtype=bool)[None, None, :]
     pad_oh = jax.nn.one_hot(pad_id, dcfg.vocab_size, dtype=jnp.float32)[None, None, :]
     cb_idx = jnp.arange(k_cb)[None, :]
+    g_n = lookup_ngram
+
+    def lookup_candidates(out_ids, stored_f, t, n, fallback,
+                          return_found=False):
+        return history_lookup_window(
+            out_ids, stored_f, t, n, fallback, g_n=g_n, w=w, k_cb=k_cb,
+            per_row=per_row, return_found=return_found,
+        )
 
     def verify_window(logits, state: SpecState, uniforms, res_g):
         """Accept/verify the W window columns — VECTORIZED across the window.
@@ -353,9 +437,33 @@ def _make_spec_step(
             take_src = lambda a: jnp.take(a, src, axis=0)  # noqa: E731
         if greedy:
             new_cand = take_src(finals)                        # (W, B, K)
+            if g_n:
+                new_cand = lookup_candidates(
+                    state.out_ids, stored_f, state.t, n, new_cand)
+                # finished (B, K) entries deterministically emit PAD at every
+                # future column; forcing the draft to PAD matches the forced
+                # final (self-draft finals are already PAD there)
+                es_next = advance_eos_state(eos_new, k_cb).eos_seen
+                new_cand = jnp.where(es_next[None], pad_id, new_cand)
             new_q = None
         else:
             new_q = take_src(q_vecs)                           # (W, B, K, V)
+            if g_n:
+                # SAMPLED-mode lookup drafts: where the history suffix
+                # matches, propose the looked-up continuation with a DELTA
+                # proposal distribution q = one_hot(token). Speculative
+                # rejection stays exact for any q the candidate is actually
+                # drawn from — with a delta it accepts w.p. p(token) and the
+                # residual draw excludes the token — and peaked models put
+                # most of p on the true continuation precisely when the
+                # lookup finds it. The candidate draw below then emits the
+                # lookup token deterministically (argmax of log q + gumbel).
+                lk_cand, lk_found = lookup_candidates(
+                    state.out_ids, stored_f, state.t, n,
+                    jnp.zeros((w, b, k_cb), jnp.int32), return_found=True)
+                lk_q = jax.nn.one_hot(lk_cand, v, dtype=jnp.float32)
+                new_q = jnp.where(
+                    lk_found[None, :, None, None], lk_q, new_q)
             gp = jax.random.gumbel(rp, (w, b, k_cb, v), jnp.float32)
             new_cand = jnp.argmax(
                 jnp.where(new_q > 0.0, jnp.log(new_q), -jnp.inf) + gp, axis=-1
@@ -664,8 +772,17 @@ def generate_tokens_speculative(
     cache_dtype=jnp.bfloat16,
     window: int = 8,
     per_row: bool = False,
+    lookup_ngram: int = 3,
 ):
     """Speculative generation; same contract as `generate_tokens` plus stats.
+
+    `lookup_ngram=g` (0 disables) adds a history-lookup draft source: when
+    the last g finalized columns re-occur earlier in the stream, the window
+    proposes that occurrence's continuation instead of the Jacobi
+    self-draft (`history_lookup_window`) — raw candidates under greedy,
+    delta proposal distributions under sampling. Greedy tokens and the
+    sampling distribution are unchanged either way — only acceptance
+    (speed) moves.
 
     Greedy (do_sample=False) is token-identical to the AR loop. Sampling
     preserves the AR sampling distribution but consumes the rng stream
@@ -687,7 +804,8 @@ def generate_tokens_speculative(
         rng, decoder_prompt_codes, cache_dtype, window, per_row=per_row,
     )
     t0 = state.t  # s0 + 1 (traced)
-    spec_step = _make_spec_step(model, gen, window, per_row=per_row)
+    spec_step = _make_spec_step(model, gen, window, per_row=per_row,
+                                lookup_ngram=lookup_ngram)
 
     if per_row:
         def cond(s: SpecState):
@@ -709,6 +827,7 @@ def make_generate_speculative(
     cache_dtype=jnp.bfloat16,
     mesh=None,
     per_row: bool = False,
+    lookup_ngram: int = 3,
 ):
     """jit-wrapped `generate_tokens_speculative`.
 
@@ -734,7 +853,7 @@ def make_generate_speculative(
             return generate_tokens_speculative(
                 model, gen, params, desc_ids, desc_mask, prompt_ids,
                 prompt_mask, rng, cache_dtype=cache_dtype, window=window,
-                per_row=per_row,
+                per_row=per_row, lookup_ngram=lookup_ngram,
             )
 
         return fn_sharded
@@ -746,6 +865,7 @@ def make_generate_speculative(
             model, gen, params, desc_ids, desc_mask, prompt_ids, prompt_mask,
             rng, decoder_prompt_codes=decoder_prompt_codes,
             cache_dtype=cache_dtype, window=window, per_row=per_row,
+            lookup_ngram=lookup_ngram,
         )
 
     return fn
@@ -757,6 +877,7 @@ def make_stream_functions_speculative(
     window: int = 8,
     cache_dtype=jnp.bfloat16,
     per_row: bool = False,
+    lookup_ngram: int = 3,
 ):
     """(prefill_fn, step_chunk_fn) for SPECULATIVE streaming.
 
@@ -781,7 +902,8 @@ def make_stream_functions_speculative(
     (tests/test_speculative.py).
     """
     max_len = gen.max_length
-    spec_step = _make_spec_step(model, gen, window, per_row=per_row)
+    spec_step = _make_spec_step(model, gen, window, per_row=per_row,
+                                lookup_ngram=lookup_ngram)
 
     @jax.jit
     def prefill_fn(params, desc_ids, desc_mask, prompt_ids, prompt_mask, rng,
@@ -824,6 +946,7 @@ def generate_tokens_decoder_only_speculative(
     decoder_prompt_codes: Optional[jnp.ndarray] = None,
     cache_dtype=jnp.bfloat16,
     window: int = 8,
+    lookup_ngram: int = 3,
 ):
     """Decoder-only speculative generation (reference
     `ParlerTTSForCausalLM.generate`, modeling:2071-2298, through the same
@@ -863,7 +986,7 @@ def generate_tokens_decoder_only_speculative(
         encoder_hidden_states, encoder_mask, start, rng, cache_dtype, window,
     )
     t0 = state.t
-    spec_step = _make_spec_step(model, gen, window)
+    spec_step = _make_spec_step(model, gen, window, lookup_ngram=lookup_ngram)
 
     def cond(s: SpecState):
         return (s.t < max_len) & ~jnp.all(s.eos.eos_seen)

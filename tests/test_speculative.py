@@ -590,3 +590,112 @@ def test_per_row_sampled_distribution_preserved(setup):
     bound = tv_noise.mean() + 3.0 * np.sqrt(v / (4 * b))
     assert tv_spec.mean() < bound, (tv_spec.mean(), tv_noise.mean(), bound)
     assert tv_spec.max() < tv_noise.max() + 5 * np.sqrt(v / (4 * b))
+
+
+# --------------------------------------------------------------------------
+def test_history_lookup_window_periodic():
+    """Unit: the lookup proposes the continuation of the latest suffix match."""
+    from parler_tts_tpu.runtime.speculative import history_lookup_window
+
+    k_cb, w, g, L = 3, 4, 2, 32
+    period = 5
+    base = np.arange(period * k_cb).reshape(period, k_cb) % 11
+    hist = np.tile(base, (L // period + 1, 1))[:L].T[None]     # (1, K, L)
+    out_ids = jnp.asarray(hist.astype(np.int32))
+    t, n = jnp.asarray(16), jnp.asarray(2)                     # t_new = 18
+    # stored_f repeats what is already at columns [16, 20): matching state
+    stored_f = jnp.moveaxis(out_ids[:, :, 16:16 + w], 2, 0)    # (W, 1, K)
+    fallback = jnp.full((w, 1, k_cb), -7, jnp.int32)
+    cand = history_lookup_window(
+        out_ids, stored_f, t, n, fallback, g_n=g, w=w, k_cb=k_cb)
+    # latest match of columns [16, 18) before t_new is at p = 18 - period = 13;
+    # its continuation equals the true periodic continuation at [18, 22)
+    np.testing.assert_array_equal(
+        np.asarray(cand), np.asarray(jnp.moveaxis(out_ids[:, :, 13:13 + w], 2, 0)))
+    # per-row variant with per-row pointers
+    out2 = jnp.concatenate([out_ids, out_ids], axis=0)         # (2, K, L)
+    t2, n2 = jnp.asarray([16, 11]), jnp.asarray([2, 1])
+    stored2 = jnp.concatenate(
+        [stored_f, jnp.moveaxis(out2[1:2, :, 11:11 + w], 2, 0)], axis=1)
+    fb2 = jnp.full((w, 2, k_cb), -7, jnp.int32)
+    cand2 = history_lookup_window(
+        out2, stored2, t2, n2, fb2, g_n=g, w=w, k_cb=k_cb, per_row=True)
+    np.testing.assert_array_equal(np.asarray(cand2[:, 0]), np.asarray(cand[:, 0]))
+    np.testing.assert_array_equal(  # row 1: t_new=12, latest match at p=7
+        np.asarray(cand2[:, 1]),
+        np.asarray(jnp.moveaxis(out2[1, :, 7:7 + w], 1, 0)))
+
+
+def test_history_lookup_no_match_falls_back():
+    from parler_tts_tpu.runtime.speculative import history_lookup_window
+
+    k_cb, w, g, L = 2, 3, 3, 20
+    rng = np.random.default_rng(0)
+    # injective column ids -> no repeated g-gram anywhere
+    hist = (np.arange(L)[None, None, :] * 10
+            + np.arange(k_cb)[None, :, None]).astype(np.int32)
+    out_ids = jnp.asarray(hist)
+    stored_f = jnp.moveaxis(out_ids[:, :, 10:10 + w], 2, 0)
+    fallback = jnp.asarray(rng.integers(0, 5, (w, 1, k_cb)).astype(np.int32))
+    cand = history_lookup_window(
+        out_ids, stored_f, jnp.asarray(10), jnp.asarray(1), fallback,
+        g_n=g, w=w, k_cb=k_cb)
+    np.testing.assert_array_equal(np.asarray(cand), np.asarray(fallback))
+    # early columns (t_new < g): must also fall back, never crash
+    cand2 = history_lookup_window(
+        out_ids, stored_f, jnp.asarray(1), jnp.asarray(1), fallback,
+        g_n=g, w=w, k_cb=k_cb)
+    np.testing.assert_array_equal(np.asarray(cand2), np.asarray(fallback))
+
+
+@pytest.mark.parametrize("lookup", [0, 2, 3])
+def test_greedy_identical_with_lookup(setup, lookup):
+    """Greedy output is token-identical to the AR loop for every draft
+    source — lookup drafts change acceptance, never tokens."""
+    model, params = setup
+    gen = _gen_cfg(do_sample=False)
+    ar = make_generate(model, gen)
+    sp = make_generate_speculative(model, gen, window=5, lookup_ngram=lookup)
+    inp = _inputs(b=2, seed=11)
+    a = ar(params, *inp, jax.random.key(7))
+    s, stats = sp(params, *inp, jax.random.key(7))
+    np.testing.assert_array_equal(np.asarray(a.codes), np.asarray(s.codes))
+    np.testing.assert_array_equal(np.asarray(a.lengths), np.asarray(s.lengths))
+
+
+@pytest.mark.parametrize("lookup", [0, 3])
+def test_per_row_greedy_identical_with_lookup(setup, lookup):
+    model, params = setup
+    gen = _gen_cfg(do_sample=False)
+    ar = make_generate(model, gen)
+    sp = make_generate_speculative(
+        model, gen, window=5, per_row=True, lookup_ngram=lookup)
+    inp = _inputs(b=3, seed=4)
+    a = ar(params, *inp, jax.random.key(7))
+    s, stats = sp(params, *inp, jax.random.key(7))
+    np.testing.assert_array_equal(np.asarray(a.codes), np.asarray(s.codes))
+    np.testing.assert_array_equal(np.asarray(a.lengths), np.asarray(s.lengths))
+
+
+def test_speculative_accept_delta_proposal_exact():
+    """The delta (one-hot) proposal used by sampled-mode lookup drafts:
+    final ~ p exactly; acceptance rate = p(proposed token)."""
+    v, n = 8, 200_000
+    rng = np.random.default_rng(1)
+    p = rng.dirichlet(np.full(v, 0.5))
+    tok = int(np.argmax(p))
+    q = np.zeros(v)
+    q[tok] = 1.0
+    key = jax.random.key(9)
+    _, ku, kg = jax.random.split(key, 3)
+    cand = jnp.full((n,), tok, jnp.int32)
+    u = jax.random.uniform(ku, (n,))
+    g = jax.random.gumbel(kg, (n, v))
+    final, acc = speculative_accept(
+        jnp.broadcast_to(jnp.asarray(p), (n, v)),
+        jnp.broadcast_to(jnp.asarray(q), (n, v)),
+        cand, u, g,
+    )
+    emp = np.bincount(np.asarray(final), minlength=v) / n
+    np.testing.assert_allclose(emp, p, atol=5e-3)
+    assert abs(float(jnp.mean(acc)) - p[tok]) < 5e-3
