@@ -38,7 +38,9 @@ def main():
     mu_dtype = sys.argv[4] if len(sys.argv) > 4 else None
     if mu_dtype in ("none", "None", ""):
         mu_dtype = None
-    loss_chunk = int(sys.argv[5]) if len(sys.argv) > 5 else None
+    loss_chunk = (int(sys.argv[5])
+                  if len(sys.argv) > 5 and sys.argv[5] not in ("none", "None", "0")
+                  else None)
     micro_g = int(sys.argv[6]) if len(sys.argv) > 6 else None
     if micro_g is not None and micro_g <= 1:
         micro_g = None
