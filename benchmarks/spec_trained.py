@@ -199,6 +199,34 @@ def main():
                   + (f" flip_rate={row['flip_rate']}" if greedy else ""),
                   flush=True)
 
+    # ---- batched per-row speculation with lookup drafts: does spec x batch
+    # beat the plain-loop flash-decode frontier when acceptance is real?
+    # (each row keeps its own pointer/cache offset; lookup searches each
+    # row's own history). Rows get shifted copies of the in-distribution
+    # prompt so their streams differ.
+    for b_sz in (8, 16):
+        d_b = jnp.asarray(np.tile(desc[:1], (b_sz, 1)))
+        dm_b = jnp.ones_like(d_b)
+        p_b = jnp.asarray(np.tile(prompt[:1], (b_sz, 1)))
+        pm_b = jnp.ones_like(p_b)
+        g = gen_cfg(True)
+        spec_b = make_generate_speculative(model, g, window=16, per_row=True)
+        out, stats = spec_b(params_bf16, d_b, dm_b, p_b, pm_b, jax.random.key(7))
+        np.asarray(out.codes)  # compile
+        t0 = time.perf_counter()
+        out, stats = spec_b(params_bf16, d_b, dm_b, p_b, pm_b, jax.random.key(7))
+        np.asarray(out.codes)
+        t_b = time.perf_counter() - t0
+        agg = audio_s * b_sz / t_b
+        cpf = float(stats.columns) / max(1, float(stats.forwards))
+        results[f"greedy_perrow_spec_b{b_sz}_w16"] = {
+            "aggregate_rtfx": round(agg, 2),
+            "cols_per_fwd_x_rows": round(cpf, 2),
+        }
+        print(f"[greedy per-row spec B={b_sz} W=16] {t_b:.3f}s "
+              f"aggregate_rtfx={agg:.1f} cols/fwd(x rows)={cpf:.2f}",
+              flush=True)
+
     import json
 
     results_path = os.path.join(out_dir, "results.json")
