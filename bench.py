@@ -157,14 +157,24 @@ def main():
         np.asarray(audio[0, -1, 0])
         return audio
 
-    # ---- warmup / compile
-    _progress("compiling token loop + codec decode")
+    # ---- warmup / compile. The stream programs compile CONCURRENTLY on a
+    # background thread (XLA compiles release the GIL) so a cold host pays
+    # max(offline, stream) compile instead of their sum — the TTFA pass below
+    # then starts warm (with the shipped .xla_cache both are deserializes).
+    play_steps = 86  # ~1 s of audio per flush
+    stream_warm = pipe.warmup_stream_async(
+        desc, desc_mask, prompt, prompt_mask, play_steps=play_steps, seed=100
+    )
+    _progress("compiling token loop + codec decode (+stream, overlapped)")
     t0 = time.perf_counter()
     out = pipe.generate_codes(desc, desc_mask, prompt, prompt_mask, seed=0)
     np.asarray(out.codes)
     decode_full(out.codes)
     compile_s = time.perf_counter() - t0
     _progress(f"compile done in {compile_s:.1f}s")
+    t0 = time.perf_counter()
+    stream_warm.join()
+    _progress(f"stream warmup joined after {time.perf_counter() - t0:.1f}s more")
 
     # ---- timed RTFx runs (token loop + codec decode, end to end)
     runs = 3
@@ -197,30 +207,27 @@ def main():
     _progress(f"decode weight stream: {weight_gb_s:.0f} GB/s "
               f"({dec_bytes / 2**20:.0f} MiB x {n_fwd} forwards)")
 
-    # ---- batched serving throughput: the plain loop with the MXU/row-blocked
-    # Pallas flash-decode kernel over the FLAT KV cache is the measured
-    # throughput frontier (benchmarks/serving_frontier.py sweep; the per-row
-    # speculative B=8 mode of r3 peaked at 35x and is still available via
-    # BENCH_B8_MODE=spec). B=8 is reported for round-over-round continuity,
-    # B=16 is the frontier point.
-    b8_spec = os.environ.get("BENCH_B8_MODE", "fd") == "spec" and (
-        os.environ.get("BENCH_MODE", "spec") == "spec"
-    )
+    # ---- batched serving throughput. Two measured modes per round:
+    #   fd       — plain loop + MXU/row-blocked Pallas flash-decode kernel
+    #              over the FLAT KV cache (B=8 kept for round continuity);
+    #   spec_fd  — per-row speculation COMPOSED with the flash kernel (the
+    #              W-column window forward runs as W*H block-diagonal query
+    #              columns of one cache stream). Acceptance — and therefore
+    #              this mode's throughput — is checkpoint-dependent; with
+    #              random weights it reports the easy-acceptance pole, with
+    #              BENCH_SPEC_CKPT the grounded one.
     from parler_tts_tpu.models.parler import ParlerTTS as _ParlerTTS
     from parler_tts_tpu.runtime.generate import make_generate
+    from parler_tts_tpu.runtime.speculative import make_generate_speculative
 
     fd_model = _ParlerTTS(pipe.config, dtype=jnp.bfloat16, use_flash_decode=True)
     fn_fd = make_generate(fd_model, pipe.generation_config)
+    w_cfd = int(os.environ.get("BENCH_SPECFD_WINDOW", "8"))
+    fn_cfd = make_generate_speculative(
+        fd_model, pipe.generation_config, window=w_cfd, per_row=True
+    )
 
-    if b8_spec:
-        from parler_tts_tpu.runtime.speculative import make_generate_speculative
-
-        w_b8 = int(os.environ.get("BENCH_SPEC_WINDOW_B8", "16"))
-        fn_spec = make_generate_speculative(
-            pipe.model, pipe.generation_config, window=w_b8, per_row=True
-        )
-
-    def run_batched(bsz, seed, compile_only=False):
+    def run_batched(fn, spec, bsz, seed):
         args = (
             pipe.params,
             jnp.asarray(np.tile(desc, (bsz, 1))),
@@ -229,26 +236,30 @@ def main():
             jnp.ones((bsz, prompt.shape[1]), jnp.int32),
             jax.random.key(seed),
         )
-        out = fn_spec(*args)[0] if b8_spec else fn_fd(*args)
+        out = fn(*args)[0] if spec else fn(*args)
         np.asarray(out.codes)
 
-    batched = {}
-    for bsz in (8, 16):
-        mode_name = "per-row spec" if b8_spec else "flash-decode plain"
-        _progress(f"batched (B={bsz}) run ({mode_name})")
-        run_batched(bsz, 0)  # compile
+    batched = {}  # config label -> aggregate RTFx
+    for label, fn, spec, bsz in (
+        ("B=8 flash-decode plain loop", fn_fd, False, 8),
+        ("B=16 flash-decode plain loop", fn_fd, False, 16),
+        (f"B=16 per-row spec x flash-decode W={w_cfd}", fn_cfd, True, 16),
+    ):
+        _progress(f"batched run: {label}")
+        run_batched(fn, spec, bsz, 0)  # compile
         t0 = time.perf_counter()
-        run_batched(bsz, 1)
+        run_batched(fn, spec, bsz, 1)
         wall = time.perf_counter() - t0
-        batched[bsz] = audio_seconds * bsz / wall
-        _progress(f"B={bsz}: {wall:.3f}s -> {batched[bsz]:.1f}x aggregate")
-    rtfx_b8 = batched[8]
-    best_b = max(batched, key=batched.get)
-    best_aggregate = max(batched[best_b], rtfx)
+        batched[label] = audio_seconds * bsz / wall
+        _progress(f"{label}: {wall:.3f}s -> {batched[label]:.1f}x aggregate")
+    rtfx_b8 = batched["B=8 flash-decode plain loop"]
+    rtfx_b16 = batched["B=16 flash-decode plain loop"]
 
-    # ---- TTFA via streaming (prefill + first chunk + decode), warmed
-    _progress("measuring TTFA (stream path compiles on first pass)")
-    play_steps = 86  # ~1 s of audio per flush
+    # ---- TTFA via streaming (prefill + first chunk + decode). Run 0 is
+    # reported separately as the COLD first-stream number (compiles already
+    # paid by the overlapped warmup above; with a fresh shipped cache this is
+    # pure execution).
+    _progress("measuring TTFA (stream programs pre-warmed above)")
     ttfas = []
     for i in range(4):
         t0 = time.perf_counter()
@@ -257,7 +268,8 @@ def main():
             ttfas.append(time.perf_counter() - t0)
             break
         _progress(f"ttfa {i}: {ttfas[-1]:.3f}s" if ttfas else f"ttfa {i}: none")
-    ttfas = ttfas[1:]  # drop the compile run
+    ttfa_run0 = ttfas[0] if ttfas else -1.0
+    ttfas = ttfas[1:]  # steady state
     ttfa_p50 = float(np.median(ttfas)) if ttfas else -1.0
 
     from parler_tts_tpu.utils.compile_cache import report_cache_misses
@@ -271,36 +283,15 @@ def main():
     else:
         _progress("cache: all programs served from the shipped cache")
 
-    result = {
-        "metric": "RTFx mini-v1 1-chip e2e (10s gen); aux: ttfa_p50_s, compile_s",
-        "value": round(rtfx, 3),
-        "unit": "x_realtime",
-        "vs_baseline": round(rtfx / 10.0, 3),
-        "ttfa_p50_s": round(ttfa_p50, 3),
-        "compile_s": round(compile_s, 1),
-        "steps_per_s": round(max_length / float(np.median(times)), 1),
-        "audio_s": round(audio_seconds, 2),
-        "gen_steps": int(np.median(gen_steps)),
-        "rtfx_batch8": round(rtfx_b8, 1),
-        "rtfx_batch16": round(batched[16], 1),
-        "rtfx_best_aggregate": round(best_aggregate, 1),
-        "best_aggregate_config": (
-            "B=1 speculative" if best_aggregate == rtfx
-            else f"B={best_b} flash-decode plain loop"
-        ),
-        "spec_window": int(os.environ.get("BENCH_SPEC_WINDOW", "24"))
-        if os.environ.get("BENCH_MODE", "spec") == "spec" else 0,
-        "cols_per_fwd": cols_per_fwd,
-        "weight_stream_gb_s": round(weight_gb_s, 1),
-        "cache_misses": len(misses),
-        "trained_ckpt": bool(os.environ.get("BENCH_SPEC_CKPT")),
-        "platform": jax.devices()[0].platform,
-    }
+    # ---- the serving frontier: max aggregate RTFx over ALL measured modes.
+    # In-process candidates (this run, random weights unless BENCH_SPEC_CKPT)
+    # plus the trained-checkpoint rows persisted by benchmarks/spec_trained.py
+    # (measured on the same chip, sharp-logits pole) — each labeled with its
+    # config so the headline number is auditable.
+    candidates = {"B=1 speculative (this run)": rtfx}
+    candidates.update({f"{k} (this run)": v for k, v in batched.items()})
 
-    # surface the trained-weights speculation data point (VERDICT r3 #1):
-    # produced offline by benchmarks/spec_trained.py on an overfit (peaked-
-    # logits) mini-v1 checkpoint; random-weights cols_per_fwd above is the
-    # easy-acceptance pole, this is the sharp-logits pole.
+    trained_aux = {}
     trained_results = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
         "benchmarks", "ckpt_overfit", "results.json")
@@ -311,9 +302,52 @@ def main():
             (k for k in ts if k.startswith("greedy_spec_w")),
             key=lambda k: ts[k]["rtfx"], default=None)
         if best_w is not None:
-            result["trained_cols_per_fwd"] = ts[best_w]["cols_per_fwd"]
-            result["trained_greedy_flip_rate"] = ts[best_w].get("flip_rate")
-            result["trained_spec_rtfx"] = ts[best_w]["rtfx"]
+            # the trained-weights B=1 speculation point (VERDICT r3 #1):
+            # random-weights cols_per_fwd above is the easy-acceptance pole,
+            # this is the sharp-logits pole.
+            trained_aux = {
+                "trained_cols_per_fwd": ts[best_w]["cols_per_fwd"],
+                "trained_greedy_flip_rate": ts[best_w].get("flip_rate"),
+                "trained_spec_rtfx": ts[best_w]["rtfx"],
+            }
+            candidates[f"B=1 spec {best_w[len('greedy_spec_'):]} "
+                       "(trained ckpt artifact)"] = ts[best_w]["rtfx"]
+        for k, row in ts.items():
+            if isinstance(row, dict) and "aggregate_rtfx" in row:
+                candidates[f"{k} (trained ckpt artifact)"] = (
+                    row["aggregate_rtfx"]
+                )
+    best_label = max(candidates, key=candidates.get)
+    best_aggregate = candidates[best_label]
+    _progress(f"serving frontier: {best_aggregate:.1f}x [{best_label}]")
+
+    result = {
+        "metric": "RTFx mini-v1 1-chip e2e (10s gen); aux: ttfa_p50_s, compile_s",
+        "value": round(rtfx, 3),
+        "unit": "x_realtime",
+        "vs_baseline": round(rtfx / 10.0, 3),
+        "ttfa_p50_s": round(ttfa_p50, 3),
+        "ttfa_first_stream_s": round(ttfa_run0, 3),
+        "compile_s": round(compile_s, 1),
+        "steps_per_s": round(max_length / float(np.median(times)), 1),
+        "audio_s": round(audio_seconds, 2),
+        "gen_steps": int(np.median(gen_steps)),
+        "rtfx_batch8": round(rtfx_b8, 1),
+        "rtfx_batch16": round(rtfx_b16, 1),
+        "rtfx_spec_fd_b16": round(
+            batched[f"B=16 per-row spec x flash-decode W={w_cfd}"], 1
+        ),
+        "rtfx_best_aggregate": round(best_aggregate, 1),
+        "best_aggregate_config": best_label,
+        "spec_window": int(os.environ.get("BENCH_SPEC_WINDOW", "24"))
+        if os.environ.get("BENCH_MODE", "spec") == "spec" else 0,
+        "cols_per_fwd": cols_per_fwd,
+        "weight_stream_gb_s": round(weight_gb_s, 1),
+        "cache_misses": len(misses),
+        "trained_ckpt": bool(os.environ.get("BENCH_SPEC_CKPT")),
+        "platform": jax.devices()[0].platform,
+        **trained_aux,
+    }
 
     print(json.dumps(result))
 

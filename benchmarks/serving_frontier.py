@@ -8,11 +8,16 @@ single-chip aggregate-throughput frontier actually is for this framework:
                                         [--max-length 860] [--profile B]
                                         [--window-map 8:16,16:8,32:4]
 
-plain — the bf16 XLA while_loop, batch rows advance in lockstep.
-spec  — per-row speculative decoding (runtime/speculative.py); each row keeps
-        the B=1 acceptance rate. Window auto-shrinks with B via --window-map
-        (verifying B*W columns per forward goes compute-bound as B grows —
-        the two throughput levers trade against each other).
+plain   — the bf16 XLA while_loop, batch rows advance in lockstep.
+fd      — plain loop with the Pallas flash-decode kernel + flat cache.
+spec    — per-row speculative decoding (runtime/speculative.py); each row
+          keeps the B=1 acceptance rate. Window auto-shrinks with B via
+          --window-map (verifying B*W columns per forward goes compute-bound
+          as B grows — the two throughput levers trade against each other).
+spec_fd — speculation COMPOSED with the flash-decode kernel: the W-column
+          window forward runs the Pallas kernel (W*H block-diagonal query
+          columns over one cache stream, per-column causal limits) instead
+          of dense-XLA attention over all S_cache slots.
 
 Per B: token-loop wall (median of 3), ms/step, per-stream and aggregate RTFx,
 plus decode-loop achieved weight-stream GB/s (decoder bytes / step time — the
@@ -52,7 +57,10 @@ def build(max_length, mode):
         eos_token_id=cfg.decoder.eos_token_id,
         codebook_guard=cfg.audio_encoder.codebook_size,
     )
-    model = ParlerTTS(cfg, dtype=jnp.bfloat16, use_flash_decode=(mode == "fd"))
+    model = ParlerTTS(
+        cfg, dtype=jnp.bfloat16,
+        use_flash_decode=mode in ("fd", "spec_fd"),
+    )
     params = jax.jit(model.init)(
         jax.random.key(0),
         jnp.zeros((1, 4), jnp.int32), jnp.ones((1, 4), jnp.int32),
@@ -72,11 +80,12 @@ def decoder_param_bytes(params):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--mode", default="plain", choices=["plain", "fd", "spec"])
+    ap.add_argument("--mode", default="plain",
+                    choices=["plain", "fd", "spec", "spec_fd"])
     ap.add_argument("--batches", default="1,2,4,8,16,32")
     ap.add_argument("--max-length", type=int, default=860)
     ap.add_argument("--profile", type=int, default=0,
-                    help="capture a trace at this batch size (plain mode)")
+                    help="capture a trace at this batch size")
     ap.add_argument("--window-map", default="1:24,2:24,4:16,8:16,16:8,32:4,64:4")
     ap.add_argument("--runs", type=int, default=3)
     args = ap.parse_args()
@@ -106,7 +115,7 @@ def main():
         prompt = jnp.asarray(np.tile(prompt1, (b, 1)))
         pm = jnp.ones((b, 8), jnp.int32)
 
-        if args.mode == "spec":
+        if args.mode in ("spec", "spec_fd"):
             from parler_tts_tpu.runtime.speculative import (
                 make_generate_speculative,
             )
@@ -122,7 +131,7 @@ def main():
         def run(seed):
             out = fn(params, desc, dm, prompt, pm, jax.random.key(seed))
             stats = None
-            if args.mode == "spec":
+            if args.mode in ("spec", "spec_fd"):
                 out, stats = out
             np.asarray(out.codes)  # host sync
             return out, stats
@@ -158,8 +167,8 @@ def main():
         results.append(row)
         print(json.dumps(row), flush=True)
 
-        if args.profile == b and args.mode == "plain":
-            path = f"/tmp/parler_profile_b{b}"
+        if args.profile == b:
+            path = f"/tmp/parler_profile_{args.mode}_b{b}"
             with jax.profiler.trace(path):
                 run(99)
             print(f"# trace written to {path}", file=sys.stderr, flush=True)

@@ -33,9 +33,15 @@ import numpy as np
 sys.path.insert(0, ".")
 
 
-def synthetic_batch(cfg, b, t_len, seed=0):
-    """Deterministic periodic codec patterns: label[b, t, k] follows a period-P
-    walk shared across rows — conditional entropy ~0 once memorized."""
+def synthetic_batch(cfg, b, t_len, seed=0, flip_p=0.0):
+    """Synthetic codec patterns: label[b, t, k] follows a period-P walk shared
+    across rows. flip_p=0 (default) is DETERMINISTIC — conditional entropy ~0
+    once memorized (the sharp pole). flip_p>0 adds per-step stochastic offset
+    jumps: with probability flip_p the walk's offset changes to a fresh random
+    value, so a perfectly-fit model's conditional distribution keeps
+    ~(1 - flip_p) mass on "continue the period" and spreads the rest — the
+    MID-ENTROPY interior sample between the sharp-periodic and random-weights
+    acceptance poles (VERDICT r4 Next #4)."""
     import jax.numpy as jnp
 
     from parler_tts_tpu.training.train_state import Batch
@@ -46,7 +52,14 @@ def synthetic_batch(cfg, b, t_len, seed=0):
     period = 16
     base = rng.integers(0, cb, size=(period,))
     t_idx = np.arange(t_len)
+    if flip_p > 0.0:
+        flips = rng.random((b, t_len)) < flip_p
+        deltas = rng.integers(1, cb, size=(b, t_len)) * flips
+        offset = np.cumsum(deltas, axis=1)                 # (B, T)
+    else:
+        offset = np.zeros((b, t_len), np.int64)
     labels = ((base[t_idx % period][None, :, None]
+               + offset[:, :, None]
                + 7 * np.arange(k_cb)[None, None, :]
                + 3 * np.arange(b)[:, None, None]) % cb).astype(np.int32)
     desc = rng.integers(0, 30000, size=(b, 16)).astype(np.int32)
@@ -75,7 +88,15 @@ def main():
     from parler_tts_tpu.utils.dtypes import cast_floating
 
     enable_compilation_cache()
-    argv = [a for a in sys.argv[1:] if a != "--load"]
+    flip_p = 0.0
+    argv = []
+    for a in sys.argv[1:]:
+        if a == "--load":
+            continue
+        if a.startswith("--flip-p="):
+            flip_p = float(a.split("=", 1)[1])
+            continue
+        argv.append(a)
     load_only = ("--load" in sys.argv[1:]
                  or os.environ.get("SPEC_TRAINED_LOAD") == "1")
     steps = int(argv[0]) if argv else 300
@@ -97,11 +118,13 @@ def main():
             jnp.zeros((1, 2, cfg.decoder.num_codebooks), jnp.int32),
         )["params"]
 
-    batch, desc, prompt = synthetic_batch(cfg, b=2, t_len=max_length)
+    batch, desc, prompt = synthetic_batch(cfg, b=2, t_len=max_length,
+                                          flip_p=flip_p)
     out_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "ckpt_overfit")
     os.makedirs(out_dir, exist_ok=True)
-    ckpt_path = os.path.join(out_dir, "params.msgpack")
+    suffix = f"_p{flip_p}" if flip_p > 0.0 else ""
+    ckpt_path = os.path.join(out_dir, f"params{suffix}.msgpack")
 
     if load_only and os.path.exists(ckpt_path):
         # shape-only template: no device init, no device->host transfer
@@ -155,7 +178,8 @@ def main():
         )
 
     audio_s = (max_length - cfg.decoder.num_codebooks) / frame_rate
-    results = {}
+    model_fd = ParlerTTS(cfg, dtype=jnp.bfloat16, use_flash_decode=True)
+    results = {"flip_p": flip_p, "train_steps": steps}
     for greedy in (True, False):
         g = gen_cfg(greedy)
         tag0 = "greedy" if greedy else "sampled"
@@ -199,41 +223,87 @@ def main():
                   + (f" flip_rate={row['flip_rate']}" if greedy else ""),
                   flush=True)
 
+            # COMPOSED speculation x flash-decode at B=1 (greedy headline)
+            if greedy and flip_p == 0.0 and w >= 16:
+                specf = make_generate_speculative(model_fd, g, window=w)
+                out, stats = specf(params_bf16, d, dm, p, pm,
+                                   jax.random.key(7))
+                np.asarray(out.codes)  # compile
+                t0 = time.perf_counter()
+                out, stats = specf(params_bf16, d, dm, p, pm,
+                                   jax.random.key(7))
+                np.asarray(out.codes)
+                t_f = time.perf_counter() - t0
+                cpf_f = int(stats.columns) / max(1, int(stats.forwards))
+                flips_f = float(
+                    (np.asarray(out.delayed_ids)
+                     != np.asarray(ref.delayed_ids)).mean()
+                )
+                results[f"greedy_specfd_w{w}"] = {
+                    "rtfx": round(audio_s / t_f, 2),
+                    "cols_per_fwd": round(cpf_f, 2),
+                    "speedup_vs_plain": round(t_plain / t_f, 2),
+                    "flip_rate": round(flips_f, 4),
+                }
+                print(f"[greedy specfd W={w}] {t_f:.3f}s "
+                      f"rtfx={audio_s/t_f:.1f} cols/fwd={cpf_f:.2f}",
+                      flush=True)
+
     # ---- batched per-row speculation with lookup drafts: does spec x batch
     # beat the plain-loop flash-decode frontier when acceptance is real?
     # (each row keeps its own pointer/cache offset; lookup searches each
-    # row's own history). Rows get shifted copies of the in-distribution
-    # prompt so their streams differ.
-    for b_sz in (8, 16):
-        d_b = jnp.asarray(np.tile(desc[:1], (b_sz, 1)))
-        dm_b = jnp.ones_like(d_b)
-        p_b = jnp.asarray(np.tile(prompt[:1], (b_sz, 1)))
-        pm_b = jnp.ones_like(p_b)
-        g = gen_cfg(True)
-        spec_b = make_generate_speculative(model, g, window=16, per_row=True)
-        out, stats = spec_b(params_bf16, d_b, dm_b, p_b, pm_b, jax.random.key(7))
-        np.asarray(out.codes)  # compile
-        t0 = time.perf_counter()
-        out, stats = spec_b(params_bf16, d_b, dm_b, p_b, pm_b, jax.random.key(7))
-        np.asarray(out.codes)
-        t_b = time.perf_counter() - t0
-        agg = audio_s * b_sz / t_b
-        cpf = float(stats.columns) / max(1, float(stats.forwards))
-        results[f"greedy_perrow_spec_b{b_sz}_w16"] = {
-            "aggregate_rtfx": round(agg, 2),
-            "cols_per_fwd_x_rows": round(cpf, 2),
-        }
-        print(f"[greedy per-row spec B={b_sz} W=16] {t_b:.3f}s "
-              f"aggregate_rtfx={agg:.1f} cols/fwd(x rows)={cpf:.2f}",
-              flush=True)
+    # row's own history). Both attention implementations are measured: dense
+    # XLA over all S_cache slots, and the COMPOSED mode (the W-column window
+    # forward through the Pallas flash-decode kernel + flat cache — "fd").
+    # Skipped for mid-entropy corpora (their point is the B=1 acceptance
+    # interior sample, not the serving frontier).
+    if flip_p == 0.0:
+        for tag, m, b_sz, w in (
+            ("spec", model, 8, 16),
+            ("spec", model, 16, 16),
+            ("specfd", model_fd, 8, 16),
+            ("specfd", model_fd, 16, 16),
+            ("specfd", model_fd, 16, 8),
+            ("specfd", model_fd, 32, 8),
+            ("specfd", model_fd, 32, 16),
+        ):
+            d_b = jnp.asarray(np.tile(desc[:1], (b_sz, 1)))
+            dm_b = jnp.ones_like(d_b)
+            p_b = jnp.asarray(np.tile(prompt[:1], (b_sz, 1)))
+            pm_b = jnp.ones_like(p_b)
+            g = gen_cfg(True)
+            spec_b = make_generate_speculative(m, g, window=w, per_row=True)
+            out, stats = spec_b(params_bf16, d_b, dm_b, p_b, pm_b,
+                                jax.random.key(7))
+            np.asarray(out.codes)  # compile
+            t0 = time.perf_counter()
+            out, stats = spec_b(params_bf16, d_b, dm_b, p_b, pm_b,
+                                jax.random.key(7))
+            np.asarray(out.codes)
+            t_b = time.perf_counter() - t0
+            agg = audio_s * b_sz / t_b
+            cpf = float(stats.columns) / max(1, float(stats.forwards))
+            results[f"greedy_perrow_{tag}_b{b_sz}_w{w}"] = {
+                "aggregate_rtfx": round(agg, 2),
+                "cols_per_fwd_x_rows": round(cpf, 2),
+            }
+            print(f"[greedy per-row {tag} B={b_sz} W={w}] {t_b:.3f}s "
+                  f"aggregate_rtfx={agg:.1f} cols/fwd(x rows)={cpf:.2f}",
+                  flush=True)
 
     import json
 
+    key = f"trained_spec{suffix}"
     results_path = os.path.join(out_dir, "results.json")
+    merged = {}
+    if os.path.exists(results_path):
+        with open(results_path) as f:
+            merged = json.load(f)
+    merged[key] = results
     with open(results_path, "w") as f:
-        json.dump({"trained_spec": results}, f, indent=1)
-    print(f"wrote {results_path}", flush=True)
-    print(json.dumps({"trained_spec": results}), flush=True)
+        json.dump(merged, f, indent=1)
+    print(f"wrote {results_path} [{key}]", flush=True)
+    print(json.dumps({key: results}), flush=True)
 
 
 if __name__ == "__main__":

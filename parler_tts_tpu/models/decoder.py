@@ -302,15 +302,20 @@ class Attention(nn.Module):
         if (
             self.use_flash_decode
             and cache_kv is not None
-            and t == 1
             and decode_lengths is not None
         ):
             from ..ops.pallas.flash_decode import flash_decode_attention
 
+            # t == 1: the AR decode step. t > 1: a speculative W-column
+            # window — the kernel gives column i the causal bound
+            # [start, limit + i), matching the bias the dense path would use.
             starts, limit = decode_lengths
+            qk = q[:, 0] if t == 1 else q
             out = flash_decode_attention(
-                q[:, 0], k.astype(q.dtype), v.astype(q.dtype), starts, limit
-            )[:, None]
+                qk, k.astype(q.dtype), v.astype(q.dtype), starts, limit
+            )
+            if t == 1:
+                out = out[:, None]
         elif self.use_chunked_attention and cache_kv is None and mask_1d is not None:
             if self.use_chunked_attention == "pallas":
                 # Pallas flash attention (fwd + custom-VJP bwd): same contract

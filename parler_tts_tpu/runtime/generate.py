@@ -374,10 +374,13 @@ def generate_tokens_fused(
     out_ids = jnp.where(pattern == -1, gen.pad_token_id, pattern)
 
     # cache rows padded to the kernel block so streaming DMAs stay in-bounds;
-    # rows past `limit` are never read (mask-free [start, limit) bounds)
+    # rows past `limit` are never read (mask-free [start, limit) bounds).
+    # NB: always the 5-D layout — the megakernel consumes (L, S, D) reshapes
+    # of it and the loop body writes back with 5-D update slices, so the flat
+    # flash-decode layout must not leak in here even when the model enables it.
     s_cache = -(-(s_p + max_len) // block_s) * block_s
     cache = DecoderCache.zeros(dcfg, b, s_cache, enc_states.shape[1], jnp.bfloat16,
-                               flat_self=model.use_flash_decode)
+                               flat_self=False)
     cross_k, cross_v = model.apply(
         variables, enc_states, method=lambda m, x: m.decoder_lm.precompute_cross_kv(x)
     )

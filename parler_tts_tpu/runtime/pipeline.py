@@ -567,6 +567,41 @@ class ParlerTTSPipeline:
                 )
         return self._stream_fns
 
+    def warmup_stream_async(
+        self,
+        desc_ids: np.ndarray,
+        desc_mask: Optional[np.ndarray],
+        prompt_ids: np.ndarray,
+        prompt_mask: Optional[np.ndarray],
+        play_steps: int = 86,
+        **stream_kwargs,
+    ):
+        """Compile the streaming programs (prefill, chunk step, first-flush
+        codec-decode bucket) on a background thread by running one flush with
+        the given input SHAPES (values don't matter for compilation).
+
+        Cold-start mitigation: XLA compilation releases the GIL, so a server
+        can overlap this with its offline-path warmup instead of paying the
+        stream compile serially on the first user request (with the shipped
+        compile cache the "compile" is a deserialize and this finishes in
+        seconds). Returns the started `threading.Thread`; `join()` it before
+        serving streams.
+        """
+        import threading
+
+        def _run():
+            for _ in self.stream(
+                desc_ids, desc_mask, prompt_ids, prompt_mask,
+                play_steps=play_steps, **stream_kwargs,
+            ):
+                break
+
+        t = threading.Thread(
+            target=_run, daemon=True, name="parler-stream-warmup"
+        )
+        t.start()
+        return t
+
     def stream(
         self,
         desc_ids: np.ndarray,

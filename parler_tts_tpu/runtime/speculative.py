@@ -229,6 +229,12 @@ def _make_spec_step(
     win_cfg = (
         dcfg.sliding_window if gen.cache_implementation == "sliding_window" else None
     )
+    # speculation x flash-decode composition: the W-column window forward
+    # rides the Pallas decode kernel (W query columns of the same cache
+    # stream, per-column causal limits) instead of dense-XLA attention over
+    # all S_cache slots. The kernel's [start, limit) contract can't express a
+    # query-relative sliding window — that mode keeps the bias path.
+    use_flash = model.use_flash_decode and win_cfg is None
     eos_oh = jax.nn.one_hot(eos_id, dcfg.vocab_size, dtype=bool)[None, None, :]
     pad_oh = jax.nn.one_hot(pad_id, dcfg.vocab_size, dtype=jnp.float32)[None, None, :]
     cb_idx = jnp.arange(k_cb)[None, :]
@@ -408,9 +414,20 @@ def _make_spec_step(
         )
         bias = causal_self_attention_bias(q_pos, state.kv_valid, win_cfg)
         cross_bias = padding_cross_attention_bias(state.enc_mask, w)
+        decode_lengths = None
+        if use_flash:
+            # left-padded prompts: invalid slots are the kv_valid zeros, all
+            # at the front (the AR loop's flash_starts contract); the first
+            # window column (position s_p + t - 1) sees pos < s_p + t
+            starts = (
+                state.kv_valid.shape[1]
+                - state.kv_valid.sum(axis=1)
+            ).astype(jnp.int32)
+            decode_lengths = (starts, (state.s_p + state.t).astype(jnp.int32))
         logits, cache = model.apply(
             variables, emb, q_pos,
             self_attn_bias=bias, cross_attn_bias=cross_bias, cache=state.cache,
+            decode_lengths=decode_lengths,
             method=lambda m, *a, **kw: m.decoder_lm(*a, **kw),
         )                                                      # (B, K, W, V)
 
@@ -638,7 +655,8 @@ def _prefill_and_window(
     # ---- cache + masks (W extra slots: the window forward writes K/V up to
     # column t+W-2 <= L+W-3)
     s_cache = s_p + max_len + w
-    cache = DecoderCache.zeros(dcfg, b, s_cache, enc_states.shape[1], cache_dtype)
+    cache = DecoderCache.zeros(dcfg, b, s_cache, enc_states.shape[1], cache_dtype,
+                               flat_self=model.use_flash_decode)
     cross_k, cross_v = model.apply(
         variables, enc_states, method=lambda m, x: m.decoder_lm.precompute_cross_kv(x)
     )

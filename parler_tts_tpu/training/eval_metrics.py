@@ -8,9 +8,28 @@ callables and skips whatever is unavailable.
 
 from __future__ import annotations
 
+import logging
 from typing import List, Optional, Tuple
 
 import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+def _load_model_or_skip(metric_name: str, loader):
+    """Load a hub-backed metric model, returning None ONLY for the
+    expected offline/missing-checkpoint failures (OSError covers the HF hub's
+    offline + local-cache-miss errors and urllib fetch failures; ValueError
+    covers hub repo-id validation). Anything else — OOM, a code bug, a corrupt
+    checkpoint tensor — propagates so eval regressions stay visible."""
+    try:
+        return loader()
+    except (OSError, ValueError, ConnectionError) as e:
+        logger.warning(
+            "eval metric %r skipped: model load failed (%s: %s)",
+            metric_name, type(e).__name__, e,
+        )
+        return None
 
 
 def clap_similarity(
@@ -25,12 +44,16 @@ def clap_similarity(
         from transformers import AutoProcessor, ClapModel
     except ImportError:
         return None
-    try:
-        clap = ClapModel.from_pretrained(clap_model_name_or_path)
-        processor = AutoProcessor.from_pretrained(clap_model_name_or_path)
-    except Exception:
-        # checkpoint unreachable (offline host, not cached): skip the metric
+    loaded = _load_model_or_skip(
+        "clap_similarity",
+        lambda: (
+            ClapModel.from_pretrained(clap_model_name_or_path),
+            AutoProcessor.from_pretrained(clap_model_name_or_path),
+        ),
+    )
+    if loaded is None:
         return None
+    clap, processor = loaded
     inputs = processor(
         text=texts, audios=[a.astype(np.float32) for a in audios],
         padding=True, return_tensors="pt", sampling_rate=sampling_rate,
@@ -53,10 +76,8 @@ def si_sdr(audios: List[np.ndarray], sampling_rate: int) -> Optional[List[float]
         return None
     import torchaudio
 
-    try:
-        model = SQUIM_OBJECTIVE.get_model()
-    except Exception:
-        # weights unreachable (offline host, not cached): skip the metric
+    model = _load_model_or_skip("si_sdr", SQUIM_OBJECTIVE.get_model)
+    if model is None:
         return None
     max_len = 15 * SQUIM_OBJECTIVE.sample_rate
     out = []
@@ -134,17 +155,19 @@ def wer(
         return None
 
     metric = _load_wer_metric()
-    # task named explicitly: hub task inference is refused in offline mode
-    try:
-        asr = pipeline(
+    # task named explicitly: hub task inference is refused in offline mode.
+    # ASR checkpoint unreachable (offline host, not in the local cache):
+    # skip the metric rather than fail the eval loop — parity with the
+    # suite's other dep-gated metrics. Reference assumes a network
+    # (eval.py:74-87); this framework must run air-gapped.
+    asr = _load_model_or_skip(
+        "wer",
+        lambda: pipeline(
             "automatic-speech-recognition", model=asr_model_name_or_path,
             device="cpu",
-        )
-    except Exception:
-        # ASR checkpoint unreachable (offline host, not in the local cache):
-        # skip the metric rather than fail the eval loop — parity with the
-        # suite's other dep-gated metrics. Reference assumes a network
-        # (eval.py:74-87); this framework must run air-gapped.
+        ),
+    )
+    if asr is None:
         return None
     return_language = "whisper" in asr_model_name_or_path.lower()
 

@@ -11,28 +11,46 @@ from parler_tts_tpu.ops.pallas.flash_decode import (
 )
 
 
-def make_case(seed=0, b=2, h=8, h_kv=8, dh=64, s=512):
+def make_case(seed=0, b=2, h=8, h_kv=8, dh=64, s=512, w=None):
     rng = np.random.default_rng(seed)
-    q = rng.normal(size=(b, h, dh)).astype(np.float32) * 0.3
+    qshape = (b, h, dh) if w is None else (b, w, h, dh)
+    q = rng.normal(size=qshape).astype(np.float32) * 0.3
     k = rng.normal(size=(b, s, h_kv, dh)).astype(np.float32) * 0.3
     v = rng.normal(size=(b, s, h_kv, dh)).astype(np.float32) * 0.3
     return jnp.asarray(q), jnp.asarray(k), jnp.asarray(v)
 
 
+# b=1 exercises the rb==1 SMEM-scalar validity path (the primary B=1 serving
+# mode); b=8 the row-blocked rb=8 path; b=2 the in-between divisor case.
+@pytest.mark.parametrize("b", [1, 2, 8])
 @pytest.mark.parametrize("limit", [1, 5, 255, 256, 257, 512])
-def test_flash_decode_matches_oracle_prefix(limit):
-    q, k, v = make_case()
-    starts = jnp.zeros((2,), jnp.int32)
+def test_flash_decode_matches_oracle_prefix(b, limit):
+    q, k, v = make_case(b=b)
+    starts = jnp.zeros((b,), jnp.int32)
     got = flash_decode_attention(q, k, v, starts, jnp.int32(limit), block_s=256, interpret=True)
     want = reference_decode_attention(q, k, v, starts, jnp.int32(limit))
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-4)
 
 
-def test_flash_decode_left_padded_starts():
-    q, k, v = make_case(seed=1)
-    starts = jnp.asarray([3, 100], jnp.int32)
+@pytest.mark.parametrize("b", [1, 2, 8])
+def test_flash_decode_left_padded_starts(b):
+    q, k, v = make_case(seed=1, b=b)
+    rng = np.random.default_rng(7)
+    starts = jnp.asarray(rng.integers(0, 120, (b,)), jnp.int32)
     got = flash_decode_attention(q, k, v, starts, jnp.int32(300), block_s=128, interpret=True)
     want = reference_decode_attention(q, k, v, starts, jnp.int32(300))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-4)
+
+
+def test_flash_decode_per_row_limits():
+    """Heterogeneous per-row [start, limit) inside one rb=8 row block."""
+    b = 8
+    q, k, v = make_case(seed=9, b=b)
+    rng = np.random.default_rng(3)
+    starts = jnp.asarray(rng.integers(0, 50, (b,)), jnp.int32)
+    limits = jnp.asarray(rng.integers(60, 512, (b,)), jnp.int32)
+    got = flash_decode_attention(q, k, v, starts, limits, block_s=128, interpret=True)
+    want = reference_decode_attention(q, k, v, starts, limits)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-4)
 
 
@@ -53,6 +71,59 @@ def test_flash_decode_bf16():
     np.testing.assert_allclose(
         np.asarray(got, np.float32), np.asarray(want, np.float32), atol=2e-2, rtol=2e-2
     )
+
+
+# ---------------------------------------------------------------- W-window
+@pytest.mark.parametrize("b", [1, 2, 8])
+@pytest.mark.parametrize("w", [2, 8])
+def test_flash_decode_window_matches_oracle(b, w):
+    """W speculative query columns, column i limited to [start, limit+i)."""
+    q, k, v = make_case(seed=11, b=b, w=w)
+    starts = jnp.zeros((b,), jnp.int32)
+    got = flash_decode_attention(q, k, v, starts, jnp.int32(130), block_s=128, interpret=True)
+    assert got.shape == q.shape
+    want = reference_decode_attention(q, k, v, starts, jnp.int32(130))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-4)
+
+
+def test_flash_decode_window_per_row_limits():
+    """Per-row window limits (the per-row speculative forward's contract):
+    each row's window column i sees its own [start_b, limit_b + i)."""
+    b, w = 8, 6
+    q, k, v = make_case(seed=12, b=b, w=w)
+    rng = np.random.default_rng(5)
+    starts = jnp.asarray(rng.integers(0, 40, (b,)), jnp.int32)
+    limits = jnp.asarray(rng.integers(41, 500 - w, (b,)), jnp.int32)
+    got = flash_decode_attention(q, k, v, starts, limits, block_s=128, interpret=True)
+    want = reference_decode_attention(q, k, v, starts, limits)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-4)
+
+
+def test_flash_decode_window_gqa_bf16():
+    q, k, v = make_case(seed=13, b=2, h=8, h_kv=2, w=4)
+    q, k, v = q.astype(jnp.bfloat16), k.astype(jnp.bfloat16), v.astype(jnp.bfloat16)
+    starts = jnp.asarray([0, 17], jnp.int32)
+    got = flash_decode_attention(q, k, v, starts, jnp.int32(333), block_s=256, interpret=True)
+    want = reference_decode_attention(q, k, v, starts, jnp.int32(333))
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32), atol=2e-2, rtol=2e-2
+    )
+
+
+def test_flash_decode_window_block_boundaries():
+    """limit+i straddling a block boundary must include exactly the extra
+    slots of the next block for the tail columns only."""
+    b, w = 2, 4
+    q, k, v = make_case(seed=14, b=b, w=w, s=256)
+    starts = jnp.zeros((b,), jnp.int32)
+    for limit in [126, 127, 128]:
+        got = flash_decode_attention(
+            q, k, v, starts, jnp.int32(limit), block_s=128, interpret=True
+        )
+        want = reference_decode_attention(q, k, v, starts, jnp.int32(limit))
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-4
+        )
 
 
 def test_generation_with_flash_decode_matches_default():

@@ -699,3 +699,43 @@ def test_speculative_accept_delta_proposal_exact():
     emp = np.bincount(np.asarray(final), minlength=v) / n
     np.testing.assert_allclose(emp, p, atol=5e-3)
     assert abs(float(jnp.mean(acc)) - p[tok]) < 5e-3
+
+
+# --------------------------------------------------------------------------
+# speculation x flash-decode composition: the W-column window forward runs
+# through the Pallas decode kernel (flat cache, per-column causal limits)
+# and must stay token-identical to the AR loop / dense spec path.
+@pytest.mark.parametrize("per_row", [False, True])
+def test_flash_spec_greedy_token_identical(setup, per_row):
+    _, params = setup
+    model_flash = ParlerTTS(CFG, use_flash_decode=True)
+    gen = _gen_cfg(do_sample=False)
+    ar = make_generate(ParlerTTS(CFG), gen)
+    sp = make_generate_speculative(
+        model_flash, gen, window=4, per_row=per_row
+    )
+    inp = _inputs(b=2, seed=3, left_pad=1)  # left pad exercises flash starts
+    a = ar(params, *inp, jax.random.key(7))
+    s, stats = sp(params, *inp, jax.random.key(7))
+    np.testing.assert_array_equal(np.asarray(a.codes), np.asarray(s.codes))
+    np.testing.assert_array_equal(np.asarray(a.lengths), np.asarray(s.lengths))
+    np.testing.assert_array_equal(
+        np.asarray(a.delayed_ids), np.asarray(s.delayed_ids)
+    )
+    assert int(stats.forwards) >= 1
+
+
+def test_flash_spec_voice_steering(setup):
+    _, params = setup
+    model_flash = ParlerTTS(CFG, use_flash_decode=True)
+    gen = _gen_cfg(do_sample=False, min_new_tokens=2)
+    ar = make_generate(ParlerTTS(CFG), gen)
+    sp = make_generate_speculative(model_flash, gen, window=3, per_row=True)
+    inp = _inputs(seed=5, left_pad=2)
+    codes0 = jnp.asarray(
+        np.random.default_rng(1).integers(0, PAD, size=(1, 3, 3)), jnp.int32
+    )
+    a = ar(params, *inp, jax.random.key(0), codes0)
+    s, _ = sp(params, *inp, jax.random.key(0), codes0)
+    np.testing.assert_array_equal(np.asarray(a.codes), np.asarray(s.codes))
+    np.testing.assert_array_equal(np.asarray(a.lengths), np.asarray(s.lengths))
