@@ -51,6 +51,11 @@ class EncodecCodecConfig:
     trim_right_ratio: float = 1.0
     pad_mode: str = "reflect"
     compress: int = 2
+    # scale-normalized checkpoints (HF EncodecConfig.normalize): encode
+    # divides each clip by its RMS and returns the scale; decode multiplies
+    # it back (reference threads these as `audio_scales`,
+    # modeling_parler_tts.py:3174-3192,3603-3607)
+    normalize: bool = False
     codec_type: str = "encodec"  # registry discriminator (codec/registry.py)
 
     @property
@@ -299,14 +304,42 @@ class EncodecCodec(nn.Module):
         self.quantizer = EncodecRVQ(self.config, name="quantizer")
         self.decoder = EncodecDecoder(self.config, name="decoder")
 
+    def _scale(self, audio: jnp.ndarray) -> jnp.ndarray:
+        """Per-clip RMS scale of the channel-mean signal (HF EncodecModel
+        `_encode_frame` normalize branch). audio (B, T, C) -> (B,)."""
+        mono = audio.mean(axis=-1)                              # (B, T)
+        return jnp.sqrt(jnp.mean(mono**2, axis=-1)) + 1e-8
+
     def encode(self, audio: jnp.ndarray) -> jnp.ndarray:
+        """(B, T, C) -> (B, K, T') codes. With `normalize=True` checkpoints
+        the clip is RMS-normalized first (codes match HF); the scale needed
+        to reconstruct amplitude comes from `encode_with_scale`."""
+        if self.config.normalize:
+            audio = audio / self._scale(audio)[:, None, None]
         return self.quantizer.encode(self.encoder(audio))
 
-    def decode(self, codes: jnp.ndarray) -> jnp.ndarray:
-        return self.decoder(self.quantizer.from_codes(codes))
+    def encode_with_scale(
+        self, audio: jnp.ndarray
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """(codes (B, K, T'), audio_scales (B,)) — the HF `.encode()` output
+        pair for normalize checkpoints (scales are all-ones otherwise)."""
+        if not self.config.normalize:
+            return self.encode(audio), jnp.ones((audio.shape[0],), audio.dtype)
+        scale = self._scale(audio)
+        codes = self.quantizer.encode(self.encoder(audio / scale[:, None, None]))
+        return codes, scale
+
+    def decode(self, codes: jnp.ndarray, audio_scales=None) -> jnp.ndarray:
+        """(B, K, T') -> (B, T, C); `audio_scales` (B,) re-applies the encode
+        normalization (HF `_decode_frame`'s `outputs * scale`)."""
+        audio = self.decoder(self.quantizer.from_codes(codes))
+        if audio_scales is not None:
+            audio = audio * jnp.asarray(audio_scales)[:, None, None]
+        return audio
 
     def __call__(self, audio):
-        return self.decode(self.encode(audio))
+        codes, scale = self.encode_with_scale(audio)
+        return self.decode(codes, scale if self.config.normalize else None)
 
 
 # -------------------------------------------------------------------- convert

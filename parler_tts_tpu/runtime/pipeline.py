@@ -82,6 +82,7 @@ def load_hf_config(path: str) -> ParlerTTSConfig:
             trim_right_ratio=ae.get("trim_right_ratio", 1.0),
             pad_mode=ae.get("pad_mode", "reflect"),
             compress=ae.get("compress", 2),
+            normalize=ae.get("normalize", False),
         )
     else:
         mt = ae.get("model_type")
@@ -476,10 +477,24 @@ class ParlerTTSPipeline:
         )
         return out
 
-    def encode_voice_prompt(self, audio: np.ndarray) -> np.ndarray:
+    def encode_voice_prompt(
+        self, audio: np.ndarray, return_scales: bool = False
+    ):
         """Raw waveform (B, T) or (T,) -> codec codes (B, K, T/hop) for voice
         steering (reference `_prepare_audio_encoder_kwargs_for_generation`,
-        modeling:3136-3194)."""
+        modeling:3136-3194). With `return_scales=True` also returns the codec's
+        per-clip `audio_scales` (B,) — required for scale-normalized Encodec
+        checkpoints (reference modeling:3174-3192): pass them back through
+        `generate(..., audio_scales=...)` / `decode_codes(...)` so the output
+        amplitude is restored, exactly like the reference threads them."""
+        normalize = getattr(self.config.audio_encoder, "normalize", False)
+        if normalize and not return_scales:
+            raise ValueError(
+                "this codec is scale-normalized (Encodec normalize=True): "
+                "call encode_voice_prompt(audio, return_scales=True) and pass "
+                "the scales to generate(..., audio_scales=...) — dropping "
+                "them would silently produce wrongly-scaled audio"
+            )
         audio = np.asarray(audio, np.float32)
         if audio.ndim == 1:
             audio = audio[None]
@@ -490,13 +505,26 @@ class ParlerTTSPipeline:
         t_pad = ((audio.shape[1] + hop - 1) // hop) * hop
         padded = np.zeros((audio.shape[0], t_pad, ch), np.float32)
         padded[:, : audio.shape[1]] = audio
+        if return_scales:
+            method = "encode_with_scale" if normalize else "encode"
+            encode = jax.jit(
+                lambda p, a: self.dac.apply({"params": p}, a, method=method)
+            )
+            if normalize:
+                codes, scales = encode(self.dac_params, jnp.asarray(padded))
+                return np.asarray(codes), np.asarray(scales)
+            codes = encode(self.dac_params, jnp.asarray(padded))
+            return np.asarray(codes), np.ones((codes.shape[0],), np.float32)
         encode = jax.jit(
             lambda p, a: self.dac.apply({"params": p}, a, method="encode")
         )
         return np.asarray(encode(self.dac_params, jnp.asarray(padded)))
 
-    def decode_codes(self, codes: jnp.ndarray, lengths: jnp.ndarray):
-        """Bucketed DAC decode: (B, K, T) codes -> (B, samples) waveform + lengths."""
+    def decode_codes(self, codes: jnp.ndarray, lengths: jnp.ndarray,
+                     audio_scales: Optional[np.ndarray] = None):
+        """Bucketed DAC decode: (B, K, T) codes -> (B, samples) waveform +
+        lengths. `audio_scales` (B,) re-applies Encodec encode normalization
+        (reference modeling:3603-3607)."""
         hop = self.config.audio_encoder.hop_length
         max_frames = int(jnp.max(lengths))
         if max_frames == 0:
@@ -507,6 +535,8 @@ class ParlerTTSPipeline:
         # samples are trimmed by `lengths` anyway)
         sliced = jnp.clip(codes[:, :, :bucket], 0, self.config.audio_encoder.codebook_size - 1)
         audio = self._decode_jit(self._dac_params_decode, sliced)  # (B, T*hop, C)
+        if audio_scales is not None:
+            audio = audio * jnp.asarray(audio_scales, audio.dtype)[:, None, None]
         if audio.shape[-1] == 1:
             return np.asarray(audio[:, :, 0]), np.asarray(lengths) * hop
         # stereo codecs: interleave channels, PCM-style (samples = frames*hop*C —
@@ -523,11 +553,14 @@ class ParlerTTSPipeline:
         prompt_mask: Optional[np.ndarray] = None,
         seed: int = 0,
         decoder_prompt_codes: Optional[np.ndarray] = None,
+        audio_scales: Optional[np.ndarray] = None,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Returns (waveform (B, samples), audio_lengths (B,)) — the reference's
         `generate(...)` + `audios_length` outputs (modeling:3648-3653).
         `decoder_prompt_codes` (B, K, T0) steers the voice (the reference's
-        `input_values` audio prompt, modeling:2826-2843)."""
+        `input_values` audio prompt, modeling:2826-2843); `audio_scales` (B,)
+        from `encode_voice_prompt(..., return_scales=True)` restores amplitude
+        for scale-normalized Encodec checkpoints (modeling:3603-3607)."""
         if isinstance(description, str):
             description = [description]
         if isinstance(prompt, str):
@@ -544,7 +577,8 @@ class ParlerTTSPipeline:
             desc_ids, desc_mask, prompt_ids, prompt_mask, seed,
             decoder_prompt_codes=decoder_prompt_codes,
         )
-        return self.decode_codes(out.codes, out.lengths)
+        return self.decode_codes(out.codes, out.lengths,
+                                 audio_scales=audio_scales)
 
     # --------------------------------------------------------------- streaming
 

@@ -196,3 +196,79 @@ def test_si_sdr_gates_on_missing_torchaudio():
     except ImportError:
         pass
     assert si_sdr([np.zeros(1000, np.float32)], 16000) is None
+
+
+@pytest.fixture()
+def mock_torchaudio(monkeypatch):
+    """A stub torchaudio exposing exactly what `si_sdr` consumes — the
+    SQUIM_OBJECTIVE bundle (sample_rate + get_model) and
+    functional.resample — so the body's resample/cap/batch logic EXECUTES
+    offline (same approach as the tiny local Whisper/CLAP above; torchaudio
+    ships no tiny config, hence a stub instead of a tiny real model).
+    Returns the stub model for input-shape assertions."""
+    import sys
+    import types
+
+    import torch
+
+    class _TinySquim(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.seen_lengths = []
+
+        def forward(self, wav):
+            self.seen_lengths.append(int(wav.shape[-1]))
+            b = wav.shape[0]
+            energy = wav.pow(2).mean(dim=1)
+            # SQUIM contract: (stoi, pesq, si_sdr) batched estimates
+            return torch.ones(b), torch.ones(b), 10 * torch.log10(energy + 1e-9)
+
+    model = _TinySquim()
+
+    def resample(wav, orig_freq, new_freq):
+        import torch.nn.functional as F
+
+        n = max(1, int(round(wav.shape[-1] * new_freq / orig_freq)))
+        return F.interpolate(
+            wav[None], size=n, mode="linear", align_corners=False
+        )[0]
+
+    ta = types.ModuleType("torchaudio")
+    fn = types.ModuleType("torchaudio.functional")
+    fn.resample = resample
+    pipelines = types.ModuleType("torchaudio.pipelines")
+    pipelines.SQUIM_OBJECTIVE = types.SimpleNamespace(
+        sample_rate=16000, get_model=lambda: model
+    )
+    ta.functional = fn
+    ta.pipelines = pipelines
+    monkeypatch.setitem(sys.modules, "torchaudio", ta)
+    monkeypatch.setitem(sys.modules, "torchaudio.functional", fn)
+    monkeypatch.setitem(sys.modules, "torchaudio.pipelines", pipelines)
+    return model
+
+
+def test_si_sdr_body_executes_with_mock(mock_torchaudio):
+    """The si_sdr body (eval_metrics reference eval.py:46-68): per-clip
+    resample to the bundle rate, 15 s cap, scalar float per clip."""
+    rng = np.random.default_rng(2)
+    audios = [
+        rng.standard_normal(44100).astype(np.float32) * 0.1,   # 1 s @ 44.1k
+        rng.standard_normal(16 * 44100).astype(np.float32) * 0.1,  # 16 s
+    ]
+    out = si_sdr(audios, sampling_rate=44100)
+    assert out is not None, "si_sdr body did not execute"
+    assert len(out) == 2
+    assert all(isinstance(x, float) and np.isfinite(x) for x in out)
+    # clip 0: 44.1k -> 16k resample lands at ~16000 samples; clip 1 resamples
+    # then caps at 15 s * 16000 before the model sees it
+    assert abs(mock_torchaudio.seen_lengths[0] - 16000) <= 2
+    assert mock_torchaudio.seen_lengths[1] == 15 * 16000
+
+
+def test_si_sdr_no_resample_at_bundle_rate(mock_torchaudio):
+    audio = np.random.default_rng(3).standard_normal(4000).astype(np.float32)
+    out = si_sdr([audio], sampling_rate=16000)
+    assert out is not None and len(out) == 1
+    # no resample: the model saw the raw length
+    assert mock_torchaudio.seen_lengths == [4000]
