@@ -91,6 +91,16 @@ def main():
     print(f"step median: {med*1000:.1f} ms "
           f"(runs: {[f'{x*1000:.0f}' for x in times]})", flush=True)
 
+    if "--profile" in sys.argv:
+        # 2 steps under jax.profiler for the MFU-attribution table
+        # (training/README.md); summarize with benchmarks/trace_summary.py
+        path = f"/tmp/parler_train_trace_{policy}_t{t_len}_b{b}"
+        with jax.profiler.trace(path):
+            for i in range(2):
+                state, m = step_fn(state, batch, jax.random.key(50 + i))
+            float(m["loss"])
+        print(f"# trace written to {path}", flush=True)
+
     # ---- achieved TFLOP/s and MFU (model-FLOPs method, remat-adjusted).
     # Matmul-participating params only (embedding gathers excluded); fwd =
     # 2*P*tokens, bwd = 4*P*tokens, full remat re-runs the fwd (+2), the
