@@ -289,14 +289,20 @@ class Attention(nn.Module):
                     (layer_idx, 0, cache_index) + tail,
                 )
             cache_kv = (ck, cv)
-            k, v = ck[layer_idx], cv[layer_idx]
-            if flat:
-                # dense paths below want (B, S, H_kv, Dh); minor-dim split of
-                # a row-major buffer — a bitcast, not a copy. The flash-decode
-                # branch re-flattens (also free) inside its wrapper.
-                n_kv = self.num_kv_heads
-                k = k.reshape(k.shape[0], k.shape[1], n_kv, -1)
-                v = v.reshape(v.shape[0], v.shape[1], n_kv, -1)
+            flash_path = self.use_flash_decode and decode_lengths is not None
+            if not flash_path:
+                # Dense paths consume one layer, (B, S, H_kv, Dh); the
+                # flash-decode kernel takes the FULL stacked cache with a
+                # static `layer` index instead — slicing `ck[layer_idx]` here
+                # would make XLA materialize a per-layer copy to feed the
+                # custom call (120 us x 2 x L per step at B=32, profiled;
+                # 68% of the decode loop). The minor-dim split of the flat
+                # layout is a bitcast, not a copy.
+                k, v = ck[layer_idx], cv[layer_idx]
+                if flat:
+                    n_kv = self.num_kv_heads
+                    k = k.reshape(k.shape[0], k.shape[1], n_kv, -1)
+                    v = v.reshape(v.shape[0], v.shape[1], n_kv, -1)
 
         b, t = x.shape[:2]
         if (
@@ -312,8 +318,9 @@ class Attention(nn.Module):
             starts, limit = decode_lengths
             qk = q[:, 0] if t == 1 else q
             out = flash_decode_attention(
-                qk, k.astype(q.dtype), v.astype(q.dtype), starts, limit
+                qk, cache_kv[0], cache_kv[1], starts, limit, layer=layer_idx
             )
+            out = out.astype(q.dtype)
             if t == 1:
                 out = out[:, None]
         elif self.use_chunked_attention and cache_kv is None and mask_1d is not None:

@@ -83,8 +83,12 @@ def _decode_kernel(
     qbd_ref,             # (RB, H_kv*Dh, W*H) VMEM — block-diagonal queries
     msel_ref,            # (W*H, H_kv*Dh) f32 VMEM — per-head kv-block mask
     fold_ref,            # (H_kv*Dh, Dh) f32 VMEM — segment-fold identity
-    k_ref,               # (RB, BLK, H_kv*Dh) VMEM (pipelined block)
-    v_ref,               # (RB, BLK, H_kv*Dh) VMEM
+    k_ref,               # (1, RB, BLK, H_kv*Dh) VMEM (pipelined block; the
+                         # leading 1 is the layer axis of the stacked cache —
+                         # the index map selects the layer, so the kernel DMAs
+                         # straight out of the full (L, B, S, HD) buffer and
+                         # XLA never materializes a per-layer slice copy)
+    v_ref,               # (1, RB, BLK, H_kv*Dh) VMEM
     out_ref,             # (RB, W*H, Dh) VMEM
     m_ref,               # (RB, W*H, 128) f32 scratch (running max, col 0 used)
     l_ref,               # (RB, W*H, 128) f32 scratch (running denom, col 0)
@@ -114,7 +118,7 @@ def _decode_kernel(
     def _compute():
         # batched MXU: (RB, BLK, H_kv*Dh) @ (RB, H_kv*Dh, W*H) -> (RB, BLK, W*H)
         scores = jax.lax.dot_general(
-            k_ref[...], qbd_ref[...],
+            k_ref[0], qbd_ref[...],
             (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )
@@ -151,7 +155,7 @@ def _decode_kernel(
         # the diagonal kv block, extracted by the masked fold matmul.
         ctx = jax.lax.dot_general(
             p.astype(v_ref.dtype),  # bf16 cache -> bf16 P (max-subtracted,
-            v_ref[...],             # |p|<=1); f32 inputs keep full precision
+            v_ref[0],               # |p|<=1); f32 inputs keep full precision
             (((1,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )                                                    # (RB, W*H, HD)
@@ -183,24 +187,35 @@ def _row_block(b: int, row_block: int) -> int:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("block_s", "row_block", "interpret")
+    jax.jit, static_argnames=("block_s", "row_block", "interpret", "layer")
 )
 def flash_decode_attention(
     q: jnp.ndarray,        # (B, H, Dh) or (B, W, H, Dh) — pre-scaled, RoPE'd
-    k: jnp.ndarray,        # (B, S, H_kv, Dh) cache keys
-    v: jnp.ndarray,        # (B, S, H_kv, Dh) cache values
+    k: jnp.ndarray,        # (B, S, H_kv, Dh) cache keys — or, with `layer`,
+                           # the FULL stacked cache (L, B, S, H_kv*Dh) flat /
+                           # (L, B, S, H_kv, Dh)
+    v: jnp.ndarray,        # same layout as k
     starts: jnp.ndarray,   # (B,) first valid slot (left-pad offset)
     limit: jnp.ndarray,    # () or (B,) — slots visible to the FIRST query
                            # column; window column i sees [start, limit + i)
     block_s: int = 256,
     row_block: int = 8,
     interpret: bool = False,
+    layer: int | None = None,
 ) -> jnp.ndarray:
     """Attention output over the valid cache prefix.
 
     Returns (B, H, Dh) for a rank-3 q, (B, W, H, Dh) for a rank-4 q (the
     speculative window forward: W query columns at consecutive positions,
     column i causally limited to `limit + i` slots).
+
+    `layer` (static — the decoder's layers are unrolled) selects one layer of
+    a stacked cache via the BlockSpec index map. This is load-bearing for
+    performance: slicing `cache[l]` in the caller makes XLA materialize a
+    full per-layer copy to feed the custom call (profiled at B=32: 120 us x
+    2 x 24 layers = 5.8 ms/step, 68% of the decode loop — the former "B>=32
+    roofline gap"). With the index map, the kernel's double-buffered DMA
+    reads the big buffer in place and the copy disappears.
     """
     windowed = q.ndim == 4
     if windowed:
@@ -208,9 +223,17 @@ def flash_decode_attention(
     else:
         b, h, dh = q.shape
         wq = 1
-    s = k.shape[1]
-    h_kv = k.shape[2]
-    hd_tot = h_kv * dh
+    if layer is None:
+        # per-layer (B, S, H_kv, Dh) operand: view as a 1-layer stacked cache
+        k = k.reshape((1,) + k.shape)
+        v = v.reshape((1,) + v.shape)
+        layer = 0
+    if k.ndim == 5:  # (L, B, S, H_kv, Dh) -> flat minor dims (a bitcast)
+        k = k.reshape(k.shape[:3] + (-1,))
+        v = v.reshape(v.shape[:3] + (-1,))
+    s = k.shape[2]
+    hd_tot = k.shape[3]
+    h_kv = hd_tot // dh
     groups = h // h_kv
     wh = wq * h
     itemsize = jnp.dtype(k.dtype).itemsize
@@ -265,18 +288,13 @@ def flash_decode_attention(
     )                                                        # (W*H, H_kv*Dh)
     fold = jnp.tile(jnp.eye(dh, dtype=jnp.float32), (h_kv, 1))  # (H_kv*Dh, Dh)
 
-    # 2-D blocks for the kernel's MXU dots; a bitcast when the cache is flat
-    # (L, B, S, H_kv*Dh) — see DecoderCache.zeros(flat_self=True).
-    k2 = k.reshape(b, s, hd_tot)
-    v2 = v.reshape(b, s, hd_tot)
-
     def kv_index_map(bi, j, bounds_ref):
         lim = bounds_ref[bi * rb, 1]
         for r in range(1, rb):
             lim = jnp.maximum(lim, bounds_ref[bi * rb + r, 1])
         lim = lim + (wq - 1)
         last = jnp.maximum((lim + block_s - 1) // block_s - 1, 0)
-        return (bi, jnp.minimum(j, last), 0)
+        return (layer, bi, jnp.minimum(j, last), 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -287,8 +305,8 @@ def flash_decode_attention(
             pl.BlockSpec((rb, hd_tot, wh), lambda bi, j, bounds: (bi, 0, 0)),
             pl.BlockSpec((wh, hd_tot), lambda bi, j, bounds: (0, 0)),
             pl.BlockSpec((hd_tot, dh), lambda bi, j, bounds: (0, 0)),
-            pl.BlockSpec((rb, block_s, hd_tot), kv_index_map),
-            pl.BlockSpec((rb, block_s, hd_tot), kv_index_map),
+            pl.BlockSpec((1, rb, block_s, hd_tot), kv_index_map),
+            pl.BlockSpec((1, rb, block_s, hd_tot), kv_index_map),
         ],
         out_specs=pl.BlockSpec((rb, wh, dh), lambda bi, j, bounds: (bi, 0, 0)),
         scratch_shapes=[
@@ -303,7 +321,7 @@ def flash_decode_attention(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, wh, dh), q.dtype),
         interpret=interpret,
-    )(bounds, boundsv, coloff, qbd, msel, fold, k2, v2)
+    )(bounds, boundsv, coloff, qbd, msel, fold, k, v)
     return out.reshape(b, wq, h, dh) if windowed else out
 
 

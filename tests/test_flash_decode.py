@@ -157,3 +157,41 @@ def test_generation_with_flash_decode_matches_default():
     out_a = make_generate(base, gen)(params, desc, dm, prompt, pm, jax.random.key(0))
     out_b = make_generate(flash, gen)(params, desc, dm, prompt, pm, jax.random.key(0))
     np.testing.assert_array_equal(np.asarray(out_a.delayed_ids), np.asarray(out_b.delayed_ids))
+
+
+@pytest.mark.parametrize("flat", [True, False])
+@pytest.mark.parametrize("layer", [0, 1, 2])
+def test_flash_decode_stacked_layer_index(flat, layer):
+    """`layer` selects one layer of the stacked cache via the index map —
+    results must match slicing that layer out by hand (the slow path the
+    index map exists to avoid)."""
+    b, h, h_kv, dh, s, n_layers = 2, 8, 4, 64, 384, 3
+    rng = np.random.default_rng(20 + layer)
+    q = jnp.asarray(rng.normal(size=(b, h, dh)).astype(np.float32) * 0.3)
+    ks = jnp.asarray(rng.normal(size=(n_layers, b, s, h_kv, dh)).astype(np.float32) * 0.3)
+    vs = jnp.asarray(rng.normal(size=(n_layers, b, s, h_kv, dh)).astype(np.float32) * 0.3)
+    starts = jnp.asarray(rng.integers(0, 40, (b,)), jnp.int32)
+    limit = jnp.int32(300)
+    k_in = ks.reshape(n_layers, b, s, h_kv * dh) if flat else ks
+    v_in = vs.reshape(n_layers, b, s, h_kv * dh) if flat else vs
+    got = flash_decode_attention(
+        q, k_in, v_in, starts, limit, block_s=128, interpret=True, layer=layer
+    )
+    want = reference_decode_attention(q, ks[layer], vs[layer], starts, limit)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-4)
+
+
+def test_flash_decode_stacked_layer_windowed():
+    """Stacked-layer mode composes with the W-column speculative window."""
+    b, w, h, h_kv, dh, s, n_layers = 2, 4, 8, 8, 64, 384, 2
+    rng = np.random.default_rng(31)
+    q = jnp.asarray(rng.normal(size=(b, w, h, dh)).astype(np.float32) * 0.3)
+    ks = jnp.asarray(rng.normal(size=(n_layers, b, s, h_kv, dh)).astype(np.float32) * 0.3)
+    vs = jnp.asarray(rng.normal(size=(n_layers, b, s, h_kv, dh)).astype(np.float32) * 0.3)
+    starts = jnp.zeros((b,), jnp.int32)
+    limit = jnp.asarray([100, 250], jnp.int32)
+    got = flash_decode_attention(
+        q, ks, vs, starts, limit, block_s=128, interpret=True, layer=1
+    )
+    want = reference_decode_attention(q, ks[1], vs[1], starts, limit)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-4)
