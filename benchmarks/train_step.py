@@ -1,6 +1,6 @@
 """Training-step latency at recipe scale vs remat policy (single chip).
 
-Usage: python benchmarks/train_step.py [none|dots] [T] [B] [mu_dtype] [loss_chunk] [microbatch_G] [microbatch_G]
+Usage: python benchmarks/train_step.py [none|dots] [T] [B] [mu_dtype] [loss_chunk] [microbatch_G] [attn_chunk]
 
 The long-T recipe requires per-layer remat + chunked attention (see
 training/README.md: dense attention thrashes at 53.7 s/step, chunked runs
@@ -44,10 +44,16 @@ def main():
     micro_g = int(sys.argv[6]) if len(sys.argv) > 6 else None
     if micro_g is not None and micro_g <= 1:
         micro_g = None
+    attn_chunk = (int(sys.argv[7])
+                  if len(sys.argv) > 7
+                  and sys.argv[7] not in ("none", "None", "0")
+                  and not sys.argv[7].startswith("-")
+                  else True)  # True -> chunked_attention default (512)
 
     cfg = ParlerTTSConfig()  # mini-v1 geometry + flan-t5-large encoder
     model = ParlerTTS(
-        cfg, dtype=jnp.bfloat16, use_chunked_attention=True, remat_layers=True,
+        cfg, dtype=jnp.bfloat16, use_chunked_attention=attn_chunk,
+        remat_layers=True,
         remat_policy=None if policy == "none" else policy,
     )
     k = jax.random.key(0)
@@ -75,7 +81,8 @@ def main():
             jnp.int32,
         ),
     )
-    print(f"policy={policy} T={t_len} B={b} mu={mu_dtype} loss_chunk={loss_chunk} microbatch={micro_g}",
+    print(f"policy={policy} T={t_len} B={b} mu={mu_dtype} "
+          f"loss_chunk={loss_chunk} microbatch={micro_g} attn_chunk={attn_chunk}",
           flush=True)
     t0 = time.perf_counter()
     state, m = step_fn(state, batch, jax.random.key(1))

@@ -156,7 +156,8 @@ class Attention(nn.Module):
     dtype: jnp.dtype = jnp.float32
     use_flash_decode: bool = False  # opt-in Pallas kernel for T==1 decode
     # O(T*chunk)-memory training attention: False | True (online-softmax scan,
-    # ops/chunked_attention.py) | "pallas" (flash kernel, ops/pallas/flash_attention.py)
+    # ops/chunked_attention.py, chunk 512) | int (scan with that chunk size)
+    # | "pallas" (flash kernel, ops/pallas/flash_attention.py)
     use_chunked_attention: Any = False
     weight_quant: Any = False            # int8 serving: False | True (pallas) | "xla"
     fused_qkv: bool = False              # serving: one q|k|v matmul per layer
@@ -335,8 +336,14 @@ class Attention(nn.Module):
             else:
                 from ..ops.chunked_attention import chunked_attention
 
+                # int-valued use_chunked_attention selects the chunk size:
+                # fewer/larger online-softmax scan steps (less loop overhead,
+                # more VMEM per step) — see training/README.md MFU table
+                ca = self.use_chunked_attention
+                chunk = 512 if isinstance(ca, bool) else int(ca)
                 out = chunked_attention(
-                    q, k.astype(q.dtype), v.astype(q.dtype), mask_1d, causal=True
+                    q, k.astype(q.dtype), v.astype(q.dtype), mask_1d,
+                    causal=True, chunk_q=chunk, chunk_k=chunk,
                 )
         else:
             out = _gqa_attention(q, k.astype(q.dtype), v.astype(q.dtype), bias)

@@ -196,14 +196,20 @@ def run_training(
             f"{training_args.gradient_accumulation_mode!r} "
             "(expected 'batch' or 'microbatch')"
         )
-    if training_args.attention_impl not in ("chunked", "pallas_flash"):
+    impl_s = training_args.attention_impl
+    if impl_s == "pallas_flash":
+        attn_impl = "pallas"
+    elif impl_s == "chunked":
+        attn_impl = True
+    elif impl_s.startswith("chunked:"):
+        # "chunked:1024" — online-softmax scan with an explicit chunk size
+        # (the MFU lever measured in training/README.md)
+        attn_impl = int(impl_s.split(":", 1)[1])
+    else:
         raise ValueError(
-            f"unknown attention_impl {training_args.attention_impl!r} "
-            "(expected 'chunked' or 'pallas_flash')"
+            f"unknown attention_impl {impl_s!r} "
+            "(expected 'chunked', 'chunked:N' or 'pallas_flash')"
         )
-    attn_impl = (
-        "pallas" if training_args.attention_impl == "pallas_flash" else True
-    )
     # collect every reconciliation independently and clone once — a caller
     # model may need several at a time (e.g. different attention impl AND a
     # different remat_policy)

@@ -107,3 +107,27 @@ def test_model_training_forward_chunked_matches_dense():
     np.testing.assert_allclose(
         np.asarray(logits_a), np.asarray(logits_b), atol=3e-5, rtol=1e-4
     )
+
+
+def test_model_training_forward_int_chunk_matches_dense():
+    """use_chunked_attention=<int> selects that chunk size (the MFU lever;
+    a non-divisor of T exercises the padding path)."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_training_step import tiny_config, init_state, make_batch
+    from parler_tts_tpu.models.parler import ParlerTTS
+    from parler_tts_tpu.training import make_optimizer
+
+    cfg = tiny_config()
+    base = ParlerTTS(cfg)
+    chunked = ParlerTTS(cfg, use_chunked_attention=24)
+    params = init_state(base, make_optimizer()).params
+    batch = make_batch(b=2, seed=12)
+
+    args = (batch.input_ids, batch.attention_mask, batch.prompt_input_ids,
+            batch.prompt_attention_mask, batch.labels)
+    logits_a, _ = base.apply({"params": params}, *args)
+    logits_b, _ = chunked.apply({"params": params}, *args)
+    np.testing.assert_allclose(
+        np.asarray(logits_a), np.asarray(logits_b), atol=3e-5, rtol=1e-4
+    )
