@@ -298,8 +298,11 @@ def main():
     if os.path.exists(trained_results):
         with open(trained_results) as f:
             ts = json.load(f).get("trained_spec", {})
+        # B=1 trained speculation rows: plain (greedy_spec_w*) AND composed
+        # with the flash-decode kernel (greedy_specfd_w*) — the best of all.
         best_w = max(
-            (k for k in ts if k.startswith("greedy_spec_w")),
+            (k for k in ts
+             if k.startswith(("greedy_spec_w", "greedy_specfd_w"))),
             key=lambda k: ts[k]["rtfx"], default=None)
         if best_w is not None:
             # the trained-weights B=1 speculation point (VERDICT r3 #1):
@@ -310,7 +313,7 @@ def main():
                 "trained_greedy_flip_rate": ts[best_w].get("flip_rate"),
                 "trained_spec_rtfx": ts[best_w]["rtfx"],
             }
-            candidates[f"B=1 spec {best_w[len('greedy_spec_'):]} "
+            candidates[f"B=1 {best_w[len('greedy_'):]} "
                        "(trained ckpt artifact)"] = ts[best_w]["rtfx"]
         for k, row in ts.items():
             if isinstance(row, dict) and "aggregate_rtfx" in row:

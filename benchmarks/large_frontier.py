@@ -219,7 +219,13 @@ def main():
     enable_compilation_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--part", default="AB", choices=["A", "B", "AB"])
-    ap.add_argument("--steps", type=int, default=150)
+    def _positive_int(s):
+        v = int(s)
+        if v < 1:
+            raise argparse.ArgumentTypeError("--steps must be >= 1")
+        return v
+
+    ap.add_argument("--steps", type=_positive_int, default=150)
     args = ap.parse_args()
 
     out_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -52,10 +52,11 @@ def summarize(plane, top_n=30):
     total_ps = 0
     for line in plane.lines:
         lname = line.name.lower()
-        # XLA op lines only (skip step/annotation lines)
-        if "xla op" not in lname and "ops" != lname and "xla modules" in lname:
-            continue
-        if "xla modules" in lname or "steps" in lname:
+        # aggregate the synchronous-op self-time line ONLY ('XLA Ops').
+        # 'Async XLA Ops' spans OVERLAP compute (DMA issued early, waited
+        # later) and 'XLA Modules'/'Steps' re-cover the same wall interval —
+        # including any of them double-counts device time.
+        if lname not in ("xla ops", "ops"):
             continue
         for ev in line.events:
             m = md.get(ev.metadata_id)

@@ -44,11 +44,23 @@ def main():
     micro_g = int(sys.argv[6]) if len(sys.argv) > 6 else None
     if micro_g is not None and micro_g <= 1:
         micro_g = None
-    attn_chunk = (int(sys.argv[7])
-                  if len(sys.argv) > 7
-                  and sys.argv[7] not in ("none", "None", "0")
-                  and not sys.argv[7].startswith("-")
-                  else True)  # True -> chunked_attention default (512)
+    # arg 7: chunk size (int), "dense" for the dense-attention baseline
+    # (WARNING: ~420x slower at recipe T), or omitted/"none" -> default 512.
+    attn_chunk = True  # -> chunked_attention default (512)
+    if len(sys.argv) > 7 and not sys.argv[7].startswith("-"):
+        a = sys.argv[7]
+        if a == "dense":
+            attn_chunk = False
+        elif a not in ("none", "None", "0", ""):
+            try:
+                attn_chunk = int(a)
+            except ValueError:
+                raise SystemExit(
+                    f"attn_chunk arg {a!r}: expected an int chunk size, "
+                    "'dense', or 'none' (default chunked-512)"
+                )
+            if attn_chunk < 1:
+                raise SystemExit("attn_chunk must be >= 1 (or 'dense')")
 
     cfg = ParlerTTSConfig()  # mini-v1 geometry + flan-t5-large encoder
     model = ParlerTTS(

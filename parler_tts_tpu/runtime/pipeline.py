@@ -507,18 +507,29 @@ class ParlerTTSPipeline:
         padded[:, : audio.shape[1]] = audio
         if return_scales:
             method = "encode_with_scale" if normalize else "encode"
-            encode = jax.jit(
-                lambda p, a: self.dac.apply({"params": p}, a, method=method)
-            )
+            encode = self._encode_jit(method)
             if normalize:
                 codes, scales = encode(self.dac_params, jnp.asarray(padded))
                 return np.asarray(codes), np.asarray(scales)
             codes = encode(self.dac_params, jnp.asarray(padded))
             return np.asarray(codes), np.ones((codes.shape[0],), np.float32)
-        encode = jax.jit(
-            lambda p, a: self.dac.apply({"params": p}, a, method="encode")
+        return np.asarray(
+            self._encode_jit("encode")(self.dac_params, jnp.asarray(padded))
         )
-        return np.asarray(encode(self.dac_params, jnp.asarray(padded)))
+
+    def _encode_jit(self, method: str):
+        """One jitted codec-encode per apply-method, cached on the pipeline —
+        a fresh `jax.jit(lambda ...)` per call would re-trace every time
+        (jit caches by function identity)."""
+        cache = getattr(self, "_encode_jits", None)
+        if cache is None:
+            cache = self._encode_jits = {}
+        fn = cache.get(method)
+        if fn is None:
+            fn = cache[method] = jax.jit(
+                lambda p, a: self.dac.apply({"params": p}, a, method=method)
+            )
+        return fn
 
     def decode_codes(self, codes: jnp.ndarray, lengths: jnp.ndarray,
                      audio_scales: Optional[np.ndarray] = None):
@@ -630,9 +641,25 @@ class ParlerTTSPipeline:
             ):
                 break
 
-        t = threading.Thread(
-            target=_run, daemon=True, name="parler-stream-warmup"
-        )
+        class _WarmupThread(threading.Thread):
+            """join() re-raises a warmup failure instead of silently
+            returning — a server must not serve believing the stream
+            programs are warm when the flush died (compile error, OOM)."""
+
+            exc: Optional[BaseException] = None
+
+            def run(self):
+                try:
+                    _run()
+                except BaseException as e:  # surfaced at join()
+                    self.exc = e
+
+            def join(self, timeout=None):
+                super().join(timeout)
+                if self.exc is not None:
+                    raise RuntimeError("stream warmup failed") from self.exc
+
+        t = _WarmupThread(daemon=True, name="parler-stream-warmup")
         t.start()
         return t
 

@@ -204,7 +204,16 @@ def run_training(
     elif impl_s.startswith("chunked:"):
         # "chunked:1024" — online-softmax scan with an explicit chunk size
         # (the MFU lever measured in training/README.md)
-        attn_impl = int(impl_s.split(":", 1)[1])
+        try:
+            attn_impl = int(impl_s.split(":", 1)[1])
+        except ValueError:
+            attn_impl = 0
+        if attn_impl < 1:
+            raise ValueError(
+                f"attention_impl {impl_s!r}: chunk size must be a positive "
+                "integer (0 would silently select dense attention, which "
+                "measures ~420x slower at recipe T — see training/README.md)"
+            )
     else:
         raise ValueError(
             f"unknown attention_impl {impl_s!r} "

@@ -524,3 +524,23 @@ def test_codec_dtype_bf16_pipeline(pipe):
     # unnormalized filters, near-saturated output); trained DAC weights are
     # weight-normed and far better conditioned. Bound the worst case.
     assert np.sqrt(np.mean((a16 - a32) ** 2)) / scale < 0.12
+
+
+def test_warmup_stream_async_success_and_failure(pipe, monkeypatch):
+    """warmup_stream_async compiles the stream programs on a thread; join()
+    must re-raise a warmup failure instead of returning normally (a server
+    would otherwise serve believing the programs are warm)."""
+    desc, desc_mask, prompt, prompt_mask = _ids(seed=3, b=1)
+    t = pipe.warmup_stream_async(desc, desc_mask, prompt, prompt_mask,
+                                 play_steps=16)
+    t.join()  # success path: returns, nothing raised
+
+    def boom(*a, **kw):
+        raise RuntimeError("compile exploded")
+        yield  # pragma: no cover — keep it a generator like stream()
+
+    monkeypatch.setattr(pipe, "stream", boom)
+    t = pipe.warmup_stream_async(desc, desc_mask, prompt, prompt_mask,
+                                 play_steps=16)
+    with pytest.raises(RuntimeError, match="stream warmup failed"):
+        t.join()

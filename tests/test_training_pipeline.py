@@ -484,6 +484,13 @@ def test_attention_impl_flag_is_load_bearing(tmp_path, monkeypatch):
         run_training(margs, DataTrainingArguments(), targs("flish", "bad"),
                      model, params, feats)
 
+    # 'chunked:N' needs a POSITIVE int — 0 would silently select dense
+    # attention downstream (the ~420x-slower path at recipe T)
+    for bogus in ("chunked:0", "chunked:-4", "chunked:abc"):
+        with pytest.raises(ValueError, match="attention_impl"):
+            run_training(margs, DataTrainingArguments(), targs(bogus, "bad"),
+                         model, params, feats)
+
     import parler_tts_tpu.ops.pallas.flash_attention as fa
 
     calls = {"n": 0}
