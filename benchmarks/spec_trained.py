@@ -266,6 +266,7 @@ def main():
             ("specfd", model_fd, 16, 8),
             ("specfd", model_fd, 32, 8),
             ("specfd", model_fd, 32, 16),
+            ("specfd", model_fd, 64, 16),
         ):
             d_b = jnp.asarray(np.tile(desc[:1], (b_sz, 1)))
             dm_b = jnp.ones_like(d_b)
@@ -299,7 +300,9 @@ def main():
     if os.path.exists(results_path):
         with open(results_path) as f:
             merged = json.load(f)
-    merged[key] = results
+    # merge row-wise: a partial re-run (e.g. a single window) must not drop
+    # previously measured rows under the same key
+    merged.setdefault(key, {}).update(results)
     with open(results_path, "w") as f:
         json.dump(merged, f, indent=1)
     print(f"wrote {results_path} [{key}]", flush=True)
